@@ -1,0 +1,100 @@
+"""Typed configuration for the whole framework.
+
+The reference has no config system — every constant is hard-coded at its use
+site (survey: SURVEY.md §5 "Config / flag system — ABSENT").  These dataclasses
+collect those constants so the zero-argument defaults reproduce reference
+behavior exactly; citations point at where each default lives in
+/root/reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of the convolutional VAE.
+
+    Defaults mirror the fixed architecture at
+    reference training/train.py:104-107 (59x59xB input, latent 32,
+    filters [32,64,128,256], 3x3 kernels) and the probabilistic heads at
+    model/model.py:154-159 (pixel-Normal scale floor 1e-4) and
+    model/model.py:49,211 (TriL diag shift 1e-5, KL weight 0.01).
+    """
+
+    stamp_size: int = 59
+    nb_of_bands: int = 6
+    latent_dim: int = 32
+    filters: Sequence[int] = (32, 64, 128, 256)
+    kernels: Sequence[int] = (3, 3, 3, 3)
+    scale_floor: float = 1e-4
+    diag_shift: float = 1e-5
+    kl_weight: float = 0.01
+    # Compute dtype for the conv/dense stacks.  Params are always float32;
+    # bfloat16 here feeds the MXU at double rate.  Defaults to float32 so the
+    # zero-config path is reference-faithful.
+    dtype: str = "float32"
+
+    @property
+    def input_shape(self) -> tuple[int, int, int]:
+        return (self.stamp_size, self.stamp_size, self.nb_of_bands)
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training defaults (reference training/train.py:90,126; model.py:213)."""
+
+    learning_rate: float = 1e-4
+    batch_size: int = 5
+    epochs: int = 10
+    kl_weight: float = 0.01
+    # 'analytic' = closed-form KL(MVN||N(0,I)); 'mc' = single-sample estimate,
+    # which is what tfp.layers.KLDivergenceRegularizer actually computes in
+    # the reference (model/model.py:211-214, default use_exact_kl=False).
+    kl_mode: str = "analytic"
+    # Optional linear beta-anneal of the KL weight over this many steps
+    # (0 disables; an extension over the reference's fixed 0.01).
+    kl_anneal_steps: int = 0
+    seed: int = 0
+    shuffle: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectionConfig:
+    """SExtractor-equivalent detection (reference detect/detection.py:19-46)."""
+
+    thresh: float = 1.5  # in units of global background RMS
+    minarea: int = 4
+    deblend_nthresh: int = 32  # reference uses 64; 32 keeps the on-device
+    # multi-threshold scan cheap with no measured difference on DC2 fields.
+    deblend_cont: float = 1e-5
+    background_box: int = 64  # sep.Background default bw/bh
+    background_fthresh: float = 0.0
+    filter_fwhm: float = 3.0  # 7x7 gaussian matched filter, FWHM 3 px
+    filter_size: int = 7
+    detection_band: int = 2  # r band (detect/detection.py:14)
+    max_sources: int = 256  # static upper bound for jit-compatible outputs
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Scene-pipeline defaults (reference deblend/field_deblender.py)."""
+
+    cutout_size: int = 59  # field_deblender.py:17
+    nb_of_bands: int = 6  # field_deblender.py:18
+    epistemic_samples: int = 100  # field_deblender.py:308
+    mse_window: int = 5  # +-5 px central window, field_deblender.py:323-324
+    position_bounds: float = 3.0  # optimization.py:46
+    epistemic_criterion: float = 100.0  # field_deblender.py:224
+    mse_criterion: float = 100.0  # field_deblender.py:225
+    gn_iterations: int = 20  # Gauss-Newton steps for position optimization
+    tile_size: int = 1024  # tile edge for very large fields
+    tile_overlap: int = 64

@@ -1,0 +1,103 @@
+"""Cutout extraction as a vmapped dynamic-slice gather.
+
+The reference (extract/extraction.py:4-43) loops over sources in Python,
+copies numpy slices, and *silently drops* any source whose window leaves the
+field (the ValueError -> except path).  Here the whole batch is one jitted
+gather: every source gets a dynamic slice (clamped so the slice is always
+legal), plus a validity mask replicating the reference's border-drop
+semantics exactly — a source is valid iff its full window lies inside the
+field.  Invalid rows are zeroed, matching the reference's zeros buffer.
+
+Static shapes: the output is (num_sources, cutout, cutout, bands) for
+whatever number of (possibly padded) source positions is passed, so the
+kernel compiles once per (num_sources bucket, field size).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["extract_cutouts", "extract_cutouts_host"]
+
+
+@partial(jax.jit, static_argnames=("cutout_size",))
+def _extract(field: jax.Array, centers: jax.Array, cutout_size: int):
+    """field (H, W, B); centers (N, 2) float offsets from field center."""
+    field_size = field.shape[0]
+    half = cutout_size // 2
+    fhalf = field_size // 2
+
+    # Reference indexing (extraction.py:28-33): start = -cs//2 + shift + fs//2
+    shifts = centers.astype(jnp.int32)
+    starts = shifts + (fhalf - half)  # (N, 2)
+
+    valid = jnp.all(
+        (starts >= 0) & (starts + cutout_size <= field_size), axis=-1
+    )
+
+    clamped = jnp.clip(starts, 0, field_size - cutout_size)
+
+    def one(start):
+        return jax.lax.dynamic_slice(
+            field,
+            (start[0], start[1], 0),
+            (cutout_size, cutout_size, field.shape[-1]),
+        )
+
+    cutouts = jax.vmap(one)(clamped)
+    cutouts = jnp.where(valid[:, None, None, None], cutouts, 0.0)
+    return cutouts, valid
+
+
+def extract_cutouts(
+    field_image: jax.Array,
+    field_size: int | None = None,
+    galaxy_distances_to_center: jax.Array | None = None,
+    cutout_size: int = 59,
+    nb_of_bands: int = 6,
+):
+    """Drop-in equivalent of the reference extract_cutouts.
+
+    parameters mirror extract/extraction.py:4-17; ``field_image`` is
+    (1, F, F, B) (leading singleton like the reference) or (F, F, B).
+
+    returns (cutout_images, valid_mask): cutout_images is a dense
+    (N, cutout, cutout, B) array with border sources zeroed; valid_mask is a
+    boolean (N,) — the reference's ``list_idx`` is ``np.flatnonzero(valid)``.
+    """
+    field = jnp.asarray(field_image)
+    if field.ndim == 4:
+        field = field[0]
+    centers = jnp.asarray(galaxy_distances_to_center, dtype=jnp.float32)
+    if centers.size == 0:
+        b = field.shape[-1]
+        return (
+            jnp.zeros((0, cutout_size, cutout_size, b), field.dtype),
+            jnp.zeros((0,), bool),
+        )
+    centers = jnp.trunc(centers)  # reference applies int() (truncation)
+    return _extract(field, centers, cutout_size)
+
+
+def extract_cutouts_host(
+    field_image,
+    field_size=None,
+    galaxy_distances_to_center=None,
+    cutout_size: int = 59,
+    nb_of_bands: int = 6,
+):
+    """Reference-signature wrapper returning (cutouts, list_idx) like
+    extract/extraction.py — list_idx is a Python list of surviving indices."""
+    import numpy as np
+
+    cutouts, valid = extract_cutouts(
+        field_image,
+        field_size,
+        galaxy_distances_to_center,
+        cutout_size,
+        nb_of_bands,
+    )
+    return np.asarray(cutouts), list(np.flatnonzero(np.asarray(valid)))

@@ -1,0 +1,144 @@
+"""Model golden tests: parameter counts vs the bundled DC2 checkpoint index,
+shape contracts, TF-semantics parity for the transposed convolution, and
+determinism/stochasticity of the forward pass."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from debvader_tpu.config import ModelConfig
+from debvader_tpu.models.layers import ConvTranspose2DTF, PReLU
+from debvader_tpu.models.vae import DeblenderVAE, init_vae
+
+
+def _count(tree):
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
+
+
+@pytest.fixture(scope="module")
+def vae_and_vars():
+    model = DeblenderVAE(ModelConfig())
+    variables = init_vae(model, jax.random.PRNGKey(0))
+    return model, variables
+
+
+def test_parameter_count_matches_reference_checkpoint(vae_and_vars):
+    # 8,318,452 total incl. BatchNorm statistics; 3,741,224 encoder /
+    # 4,577,228 decoder — computed from the reference ckpt index
+    # (weights_noisy_v4.386--6.61.ckpt.index, SURVEY.md §2 row 19).
+    _, variables = vae_and_vars
+    enc_p = variables["params"]["encoder"]
+    dec_p = variables["params"]["decoder"]
+    enc_bs = variables["batch_stats"]["encoder"]
+    total = _count(variables["params"]) + _count(variables["batch_stats"])
+    assert _count(enc_p) + _count(enc_bs) == 3_741_224
+    assert _count(dec_p) == 4_577_228
+    assert total == 8_318_452
+
+
+def test_encoder_spatial_path(vae_and_vars):
+    # 59 -> 30 -> 15 -> 8 -> 4 under TF SAME stride-2 (SURVEY.md §2 row 1)
+    model, variables = vae_and_vars
+    x = jnp.zeros((2, 59, 59, 6))
+    flat = model.apply(variables, x, method=lambda m, v: m.encoder(v))
+    assert flat.shape == (2, 560)
+
+
+def test_forward_shapes_and_stochastic_latent(vae_and_vars):
+    model, variables = vae_and_vars
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(3, 59, 59, 6)), jnp.float32)
+    dist, posterior = model.apply(variables, x, rng=jax.random.PRNGKey(1))
+    assert dist.loc.shape == (3, 59, 59, 6)
+    assert dist.scale.shape == (3, 59, 59, 6)
+    assert posterior.loc.shape == (3, 32)
+    assert posterior.scale_tril.shape == (3, 32, 32)
+    # scale floor 1e-4 after relu head (model/model.py:137,156)
+    assert float(dist.scale.min()) >= 1e-4 - 1e-9
+
+    # sampled latent => two forward passes with different rng differ
+    dist2, _ = model.apply(variables, x, rng=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(dist.loc), np.asarray(dist2.loc))
+    # z_mode='mean' is deterministic
+    d3, _ = model.apply(variables, x, z_mode="mean")
+    d4, _ = model.apply(variables, x, z_mode="mean")
+    np.testing.assert_array_equal(np.asarray(d3.loc), np.asarray(d4.loc))
+
+
+def test_decode_shape(vae_and_vars):
+    model, variables = vae_and_vars
+    z = jnp.zeros((4, 32))
+    dist = model.apply(variables, z, method="decode")
+    assert dist.loc.shape == (4, 59, 59, 6)
+
+
+def test_conv_transpose_matches_tf_gradient_semantics():
+    """TF Conv2DTranspose == transpose (vjp) of a SAME forward conv.
+
+    Our kernel layout (kh, kw, out, in) interpreted as the forward conv's
+    (kh, kw, in, out) must reproduce the conv input-gradient exactly,
+    including the asymmetric-SAME alignment for odd kernels / stride 2.
+    """
+    rng = np.random.default_rng(7)
+    for (h, w, cin, cout, stride) in [(8, 8, 5, 3, 2), (15, 15, 4, 6, 2), (9, 9, 3, 3, 1)]:
+        x = jnp.asarray(rng.normal(size=(2, h, w, cin)), jnp.float32)
+        mod = ConvTranspose2DTF(cout, (3, 3), strides=(stride, stride), use_bias=False)
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        kernel = variables["params"]["kernel"]  # (3, 3, cout, cin)
+        got = mod.apply(variables, x)
+        assert got.shape == (2, h * stride, w * stride, cout)
+
+        def fwd(y):
+            return jax.lax.conv_general_dilated(
+                y,
+                kernel,  # interpret axis 2 (cout) as the conv's input channels
+                window_strides=(stride, stride),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        y0 = jnp.zeros((2, h * stride, w * stride, cout), jnp.float32)
+        _, vjp = jax.vjp(fwd, y0)
+        (want,) = vjp(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_prelu_per_element_alpha():
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 5, 5, 3)), jnp.float32)
+    mod = PReLU()
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    assert variables["params"]["alpha"].shape == (5, 5, 3)  # Keras shared_axes=None
+    # alpha init zeros => acts as relu initially
+    np.testing.assert_array_equal(
+        np.asarray(mod.apply(variables, x)), np.maximum(np.asarray(x), 0)
+    )
+    # nonzero alpha scales the negative part
+    v2 = {"params": {"alpha": jnp.full((5, 5, 3), 0.25)}}
+    got = np.asarray(mod.apply(v2, x))
+    xn = np.asarray(x)
+    np.testing.assert_allclose(got, np.maximum(xn, 0) + 0.25 * np.minimum(xn, 0), rtol=1e-6)
+
+
+def test_band_count_variants():
+    # Transfer configs with different band counts (BASELINE.json config 5).
+    for bands in (1, 3, 6):
+        cfg = ModelConfig(nb_of_bands=bands)
+        model = DeblenderVAE(cfg)
+        variables = init_vae(model, jax.random.PRNGKey(0))
+        x = jnp.zeros((1, 59, 59, bands))
+        dist, _ = model.apply(variables, x, rng=jax.random.PRNGKey(1))
+        assert dist.loc.shape == (1, 59, 59, bands)
+
+
+def test_bfloat16_compute_close_to_fp32():
+    cfg32 = ModelConfig()
+    cfg16 = ModelConfig(dtype="bfloat16")
+    m32, m16 = DeblenderVAE(cfg32), DeblenderVAE(cfg16)
+    variables = init_vae(m32, jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 59, 59, 6)), jnp.float32)
+    d32, _ = m32.apply(variables, x, z_mode="mean")
+    d16, _ = m16.apply(variables, x, z_mode="mean")
+    # bf16 matmuls accumulate fp32; init-scale activations stay close
+    np.testing.assert_allclose(
+        np.asarray(d16.loc), np.asarray(d32.loc), atol=0.05, rtol=0.1
+    )
