@@ -1,0 +1,127 @@
+"""Stamp-level deblending: the batched VAE forward.
+
+Reference: ``deblend(net, images, normalise)`` at
+deblend_cutout/deblender.py:6-25 — one batched forward returning
+(mean images, output distribution).  Here the normalize -> encode -> sample
+-> decode -> denormalize chain is a single jitted XLA program, compiled once
+per batch-size bucket; bf16 compute is a config switch.
+
+The reference's ``normalise=True`` path is broken (it denormalizes a
+*sample*, destroying the distribution — SURVEY.md §2 row 12); we implement
+the mathematically intended behavior: denormalize the distribution via the
+delta method (ops/normalize.py) and document the divergence.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from debvader_tpu.models.distributions import PixelNormal
+from debvader_tpu.models.vae import DeblenderVAE
+from debvader_tpu.ops.normalize import denormalize_distribution, normalize_non_linear
+
+__all__ = ["deblend", "deblend_jit", "deblend_samples"]
+
+_PADDED_BATCH_BUCKETS = (1, 8, 32, 128, 512, 2048, 8192)
+
+
+def _bucket(n: int) -> int:
+    for b in _PADDED_BATCH_BUCKETS:
+        if n <= b:
+            return b
+    return n
+
+
+@partial(jax.jit, static_argnames=("model", "normalise", "z_mode"))
+def deblend_jit(
+    model: DeblenderVAE,
+    variables: Any,
+    images: jax.Array,
+    rng: jax.Array,
+    normalise: bool = False,
+    z_mode: str = "sample",
+) -> PixelNormal:
+    """Fully-fused deblend forward; images (N, S, S, B) float32."""
+    x = images.astype(jnp.float32)
+    if normalise:
+        x = normalize_non_linear(x)
+    dist, _ = model.apply(variables, x, rng=rng, z_mode=z_mode)
+    if normalise:
+        dist = denormalize_distribution(dist)
+    return dist
+
+
+def deblend(
+    net: tuple[DeblenderVAE, Any],
+    images,
+    normalise: bool = False,
+    rng: jax.Array | None = None,
+    z_mode: str = "sample",
+    pad_to_bucket: bool = True,
+):
+    """Drop-in equivalent of the reference deblend().
+
+    parameters:
+        net: (model, variables) as returned by load_deblender / training
+        images: (N, S, S, B) array; a single image may be passed as (S, S, B)
+        normalise: apply tanh(arcsinh) in, exact-inverse out (fixed-math path)
+        rng: PRNG key for the sampled latent (defaults to key 0); pass fresh
+            keys to draw independent epistemic samples
+        z_mode: 'sample' (reference behavior) or 'mean' (deterministic)
+        pad_to_bucket: round the batch up to a fixed bucket so repeated calls
+            reuse one compiled program instead of recompiling per batch size
+
+    returns (mean_images, distribution) like the reference
+    (deblend_cutout/deblender.py:24).
+    """
+    model, variables = net
+    x = jnp.asarray(images, jnp.float32)
+    if x.ndim == 3:
+        x = x[None]
+    n = x.shape[0]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    m = _bucket(n) if pad_to_bucket else n
+    if m != n:
+        x = jnp.concatenate([x, jnp.zeros((m - n,) + x.shape[1:], x.dtype)])
+    dist = deblend_jit(model, variables, x, rng, normalise=normalise, z_mode=z_mode)
+    if m != n:
+        dist = PixelNormal(dist.loc[:n], dist.scale[:n])
+    return np.asarray(dist.mean()), dist
+
+
+def deblend_samples(
+    net: tuple[DeblenderVAE, Any],
+    images,
+    n_samples: int,
+    rng: jax.Array | None = None,
+    normalise: bool = False,
+) -> jax.Array:
+    """Epistemic sampling: n_samples independent forwards per image, batched
+    on device (replaces the reference's 100-forwards-per-source Python loop,
+    field_deblender.py:303-316).  Returns (n_samples, N, S, S, B) means."""
+    model, variables = net
+    x = jnp.asarray(images, jnp.float32)
+    if x.ndim == 3:
+        x = x[None]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, n_samples)
+
+    @jax.jit
+    def sample_means(keys, x):
+        def one(k):
+            xx = normalize_non_linear(x) if normalise else x
+            dist, _ = model.apply(variables, xx, rng=k, z_mode="sample")
+            if normalise:
+                dist = denormalize_distribution(dist)
+            return dist.loc
+
+        return jax.lax.map(one, keys)
+
+    return sample_means(keys, x)

@@ -1,0 +1,143 @@
+"""Sharded training and inference over a device mesh.
+
+Data-parallel ELBO training (BASELINE.json config 3: "data-parallel over 8
+chips") expressed the XLA-native way: annotate shardings on the jitted step's
+inputs/outputs and let the compiler insert the gradient reductions over ICI —
+no hand-written collectives on the hot path.  Tensor parallelism for the
+heavy dense kernels comes from ``param_shardings`` (parallel/mesh.py).
+
+``make_sharded_train_step`` returns a step function whose state lives
+sharded on the mesh; batches are placed with ``shard_batch``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from debvader_tpu.config import TrainConfig
+from debvader_tpu.models.vae import DeblenderVAE
+from debvader_tpu.parallel import mesh as mesh_lib
+from debvader_tpu.training import losses
+from debvader_tpu.training.train import TrainState, create_train_state
+
+__all__ = [
+    "shard_batch",
+    "create_sharded_train_state",
+    "make_sharded_train_step",
+    "make_sharded_apply",
+]
+
+
+def shard_batch(batch: jax.Array, mesh) -> jax.Array:
+    return jax.device_put(batch, mesh_lib.batch_sharding(mesh))
+
+
+def create_sharded_train_state(
+    model: DeblenderVAE,
+    mesh,
+    train_cfg: TrainConfig | None = None,
+    rng: jax.Array | None = None,
+    freeze_decoder: bool = False,
+    variables: Any | None = None,
+) -> TrainState:
+    """Initialize a TrainState with params/opt-state laid out on the mesh."""
+    state = create_train_state(
+        model, train_cfg, rng=rng, freeze_decoder=freeze_decoder, variables=variables
+    )
+    p_shard = mesh_lib.param_shardings(state.params, mesh)
+    rep = mesh_lib.replicated(mesh)
+
+    def put(x, s):
+        return jax.device_put(x, s)
+
+    # Adam state (m/v) mirrors the params tree; shard any leaf whose shape
+    # matches a TP-sharded param so update math stays local to each shard.
+    tp_shapes = {
+        tuple(p.shape)
+        for p, s in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(p_shard),
+        )
+        if s.spec != P()
+    }
+
+    def p_shard_for(leaf):
+        if hasattr(leaf, "shape") and tuple(leaf.shape) in tp_shapes:
+            return NamedSharding(mesh, P(None, mesh_lib.MODEL_AXIS))
+        return rep
+
+    return state.replace(
+        params=jax.tree_util.tree_map(put, state.params, p_shard),
+        batch_stats=jax.tree_util.tree_map(lambda x: put(x, rep), state.batch_stats),
+        opt_state=jax.tree_util.tree_map(
+            lambda x: put(x, p_shard_for(x)) if hasattr(x, "shape") else x,
+            state.opt_state,
+        ),
+        step=put(state.step, rep),
+        rng=put(state.rng, rep),
+    )
+
+
+def make_sharded_train_step(
+    model: DeblenderVAE, mesh, train_cfg: TrainConfig | None = None
+) -> Callable:
+    """Jitted (state, x, y) -> (state, metrics) with batch sharded over
+    'data'.  Gradient all-reduce and TP collectives are inserted by XLA."""
+    train_cfg = train_cfg or TrainConfig()
+    from debvader_tpu.training.train import _kl_weight_at
+
+    def loss_fn(params, batch_stats, x, y, rng, step):
+        def fwd(m, x, rng):
+            posterior = m.encode(x, train=True)
+            z = posterior.sample(rng)
+            dist = m.decode(z)
+            return dist, posterior, z
+
+        (dist, posterior, z), mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            rng,
+            method=fwd,
+            mutable=["batch_stats"],
+        )
+        kl_w = _kl_weight_at(step, train_cfg)
+        terms = losses.elbo_terms(
+            dist, posterior, y, z=z, kl_weight=kl_w, kl_mode=train_cfg.kl_mode
+        )
+        return terms["loss"], (terms, mutated["batch_stats"])
+
+    batch_s = mesh_lib.batch_sharding(mesh)
+
+    @jax.jit
+    def step(state: TrainState, x: jax.Array, y: jax.Array):
+        x = jax.lax.with_sharding_constraint(x, batch_s)
+        y = jax.lax.with_sharding_constraint(y, batch_s)
+        rng, new_rng = jax.random.split(state.rng)
+        grads, (terms, new_bs) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, x, y, rng, state.step
+        )
+        return state.apply_gradients(grads, new_bs, new_rng), terms
+
+    return step
+
+
+def make_sharded_apply(model: DeblenderVAE, mesh, z_mode: str = "sample") -> Callable:
+    """Batch-sharded inference fan-out: (variables, x, rng) -> PixelNormal.
+
+    The deblend batch is split over 'data'; each chip runs the full VAE on
+    its shard (weights replicated / TP-sharded), so field-scale batches of
+    stamps scale linearly over the slice.
+    """
+    batch_s = mesh_lib.batch_sharding(mesh)
+
+    @jax.jit
+    def apply(variables, x, rng=None):
+        x = jax.lax.with_sharding_constraint(x, batch_s)
+        dist, posterior = model.apply(variables, x, rng=rng, z_mode=z_mode)
+        return dist
+
+    return apply

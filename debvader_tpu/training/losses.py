@@ -1,0 +1,85 @@
+"""Losses and metrics for VAE/deblender training.
+
+Reference semantics (training/metrics.py:4-26, model/model.py:206-214):
+
+- reconstruction term: ``vae_loss = -predicted_distribution.log_prob(y)``,
+  reduced by Keras as the mean over every element (batch, H, W, band);
+- KL term: added separately as an activity regularizer with fixed weight
+  0.01.  TFP's ``KLDivergenceRegularizer`` defaults to a single-sample
+  Monte-Carlo estimate at the sampled latent; we default to the analytic
+  closed form (lower variance, same optimum) and expose ``kl_mode='mc'``
+  for exact reference parity;
+- ``mse`` metric: plain mean squared error.
+
+All functions are pure and jit/vmap/shard_map-safe.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from debvader_tpu.models.distributions import (
+    MultivariateNormalTriL,
+    PixelNormal,
+    kl_mvn_tril_standard_normal,
+)
+
+__all__ = ["mse", "nll", "kl_divergence", "elbo_terms"]
+
+
+def mse(img1: jax.Array, img2: jax.Array) -> jax.Array:
+    """Mean squared error (reference training/metrics.py:4-14)."""
+    return jnp.mean(jnp.square(img1 - img2))
+
+
+def nll(dist: PixelNormal, y: jax.Array) -> jax.Array:
+    """Mean per-pixel Gaussian negative log-likelihood (vae_loss)."""
+    return -jnp.mean(dist.log_prob(y))
+
+
+def kl_divergence(
+    posterior: MultivariateNormalTriL,
+    z: jax.Array | None = None,
+    mode: str = "analytic",
+) -> jax.Array:
+    """Batch-mean KL(q(z|x) || N(0, I)).
+
+    ``mode='mc'`` reproduces the reference's regularizer estimator:
+    log q(z) - log p(z) evaluated at the forward pass's sampled z.
+    """
+    if mode == "analytic":
+        return jnp.mean(posterior.kl_to_standard_normal())
+    if mode == "mc":
+        if z is None:
+            raise ValueError("kl mode 'mc' requires the sampled latent z")
+        n = posterior.event_dim
+        log_q = posterior.log_prob(z)
+        log_p = -0.5 * jnp.sum(jnp.square(z), -1) - 0.5 * n * jnp.log(
+            jnp.asarray(2.0 * jnp.pi, z.dtype)
+        )
+        return jnp.mean(log_q - log_p)
+    raise ValueError(f"unknown kl mode {mode!r}")
+
+
+def elbo_terms(
+    dist: PixelNormal,
+    posterior: MultivariateNormalTriL,
+    y: jax.Array,
+    z: jax.Array | None = None,
+    kl_weight: float | jax.Array = 0.01,
+    kl_mode: str = "analytic",
+) -> dict[str, jax.Array]:
+    """All training metrics in one fused pass.
+
+    ``loss = nll + kl_weight * kl`` is exactly the reference's total
+    objective (vae_loss + the 0.01-weighted regularizer).
+    """
+    rec = nll(dist, y)
+    kl = kl_divergence(posterior, z=z, mode=kl_mode)
+    return {
+        "nll": rec,
+        "kl": kl,
+        "loss": rec + kl_weight * kl,
+        "mse": mse(dist.mean(), y),
+    }

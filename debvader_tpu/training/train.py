@@ -1,0 +1,327 @@
+"""Training: jitted ELBO steps, two-stage transfer training, histories.
+
+Reference workflow (training/train.py:78-205):
+
+  stage 1 "vae":        train everything on (noisy -> isolated) pairs
+  stage 2 "deblender":  freeze the decoder, recompile, train on
+                        (blended -> isolated) pairs
+
+Here each stage is a fresh ``TrainState`` (the reference's recompile also
+resets Adam moments), the whole optimizer step is one jitted XLA program, and
+decoder freezing is an ``optax.multi_transform`` mask rather than a Keras
+``trainable`` flag.  The PRNG is threaded explicitly through the state so
+training is bitwise reproducible for a given seed (the BASELINE.json
+"bitwise-stable ELBO training" requirement) — no host randomness touches the
+step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from debvader_tpu.config import ModelConfig, TrainConfig
+from debvader_tpu.models.vae import DeblenderVAE, init_vae
+from debvader_tpu.training import losses
+
+__all__ = [
+    "TrainState",
+    "create_train_state",
+    "make_train_step",
+    "make_eval_step",
+    "train_network",
+    "train_deblender",
+    "decoder_freeze_labels",
+]
+
+
+class TrainState(struct.PyTreeNode):
+    """Minimal train state: params, BN stats, optimizer state, step, rng."""
+
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+    rng: jax.Array
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats, new_rng):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            params=optax.apply_updates(self.params, updates),
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+            step=self.step + 1,
+            rng=new_rng,
+        )
+
+
+def decoder_freeze_labels(params) -> Any:
+    """'frozen' for every decoder param, 'trainable' elsewhere
+    (reference freezes the decoder for stage 2, training/train.py:175)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: "frozen"
+        if any(getattr(p, "key", None) == "decoder" for p in path)
+        else "trainable",
+        params,
+    )
+
+
+def _make_optimizer(train_cfg: TrainConfig, freeze_decoder: bool, params=None):
+    adam = optax.adam(train_cfg.learning_rate)
+    if not freeze_decoder:
+        return adam
+    return optax.multi_transform(
+        {"trainable": adam, "frozen": optax.set_to_zero()},
+        decoder_freeze_labels(params),
+    )
+
+
+def create_train_state(
+    model: DeblenderVAE,
+    train_cfg: TrainConfig | None = None,
+    rng: jax.Array | None = None,
+    freeze_decoder: bool = False,
+    variables: Any | None = None,
+) -> TrainState:
+    train_cfg = train_cfg or TrainConfig()
+    rng = rng if rng is not None else jax.random.PRNGKey(train_cfg.seed)
+    init_rng, state_rng = jax.random.split(rng)
+    if variables is None:
+        variables = init_vae(model, init_rng)
+    tx = _make_optimizer(train_cfg, freeze_decoder, variables["params"])
+    return TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+        rng=state_rng,
+        tx=tx,
+    )
+
+
+def _kl_weight_at(step, train_cfg: TrainConfig):
+    """Fixed 0.01 by default; optional linear beta-anneal extension."""
+    w = jnp.asarray(train_cfg.kl_weight, jnp.float32)
+    if train_cfg.kl_anneal_steps > 0:
+        frac = jnp.minimum(step.astype(jnp.float32) / train_cfg.kl_anneal_steps, 1.0)
+        return w * frac
+    return w
+
+
+def make_train_step(
+    model: DeblenderVAE, train_cfg: TrainConfig | None = None
+) -> Callable:
+    """Build the jitted (state, x, y) -> (state, metrics) training step."""
+    train_cfg = train_cfg or TrainConfig()
+
+    def loss_fn(params, batch_stats, x, y, rng, step):
+        def fwd(m, x, rng):
+            posterior = m.encode(x, train=True)
+            z = posterior.sample(rng)
+            dist = m.decode(z)
+            return dist, posterior, z
+
+        (dist, posterior, z), mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            rng,
+            method=fwd,
+            mutable=["batch_stats"],
+        )
+        kl_w = _kl_weight_at(step, train_cfg)
+        terms = losses.elbo_terms(
+            dist, posterior, y, z=z, kl_weight=kl_w, kl_mode=train_cfg.kl_mode
+        )
+        return terms["loss"], (terms, mutated["batch_stats"])
+
+    @jax.jit
+    def train_step(state: TrainState, x: jax.Array, y: jax.Array):
+        rng, new_rng = jax.random.split(state.rng)
+        grads, (terms, new_bs) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, x, y, rng, state.step
+        )
+        new_state = state.apply_gradients(grads, new_bs, new_rng)
+        return new_state, terms
+
+    return train_step
+
+
+def make_eval_step(model: DeblenderVAE, train_cfg: TrainConfig | None = None):
+    """Jitted validation step (BN in inference mode, sampled latent like the
+    reference's Keras validation pass)."""
+    train_cfg = train_cfg or TrainConfig()
+
+    @jax.jit
+    def eval_step(state: TrainState, x: jax.Array, y: jax.Array, rng: jax.Array):
+        def fwd(m, x, rng):
+            posterior = m.encode(x, train=False)
+            z = posterior.sample(rng)
+            dist = m.decode(z)
+            return dist, posterior, z
+
+        dist, posterior, z = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x,
+            rng,
+            method=fwd,
+        )
+        return losses.elbo_terms(
+            dist, posterior, y, z=z,
+            kl_weight=train_cfg.kl_weight, kl_mode=train_cfg.kl_mode,
+        )
+
+    return eval_step
+
+
+def _batches(n: int, batch_size: int, rng: np.random.Generator | None):
+    idx = np.arange(n)
+    if rng is not None:
+        rng.shuffle(idx)
+    for start in range(0, n - batch_size + 1, batch_size):
+        yield idx[start : start + batch_size]
+
+
+def train_network(
+    model: DeblenderVAE,
+    state: TrainState,
+    epochs: int,
+    training_data: tuple,
+    validation_data: tuple,
+    batch_size: int,
+    callbacks: Iterable | None = None,
+    verbose: int = 1,
+    train_cfg: TrainConfig | None = None,
+):
+    """Epoch loop mirroring the reference train_network (training/train.py:11-39).
+
+    ``training_data`` / ``validation_data`` are (inputs, labels) numpy pairs.
+    Returns (state, history) where history is a Keras-History-like dict.
+    """
+    train_cfg = train_cfg or TrainConfig()
+    train_step = make_train_step(model, train_cfg)
+    eval_step = make_eval_step(model, train_cfg)
+    shuffle_rng = np.random.default_rng(train_cfg.seed)
+
+    x_tr, y_tr = training_data
+    x_va, y_va = validation_data
+    history: dict[str, list[float]] = {}
+
+    for epoch in range(epochs):
+        epoch_metrics: dict[str, list[float]] = {}
+        for idx in _batches(len(x_tr), batch_size, shuffle_rng if train_cfg.shuffle else None):
+            state, terms = train_step(
+                state, jnp.asarray(x_tr[idx], jnp.float32), jnp.asarray(y_tr[idx], jnp.float32)
+            )
+            for k, v in terms.items():
+                epoch_metrics.setdefault(k, []).append(float(v))
+
+        val_metrics: dict[str, list[float]] = {}
+        val_rng = jax.random.fold_in(jax.random.PRNGKey(train_cfg.seed), epoch)
+        n_val_steps = max(int(len(x_va) / batch_size), 1)
+        for i, idx in enumerate(_batches(len(x_va), batch_size, None)):
+            if i >= n_val_steps:
+                break
+            terms = eval_step(
+                state,
+                jnp.asarray(x_va[idx], jnp.float32),
+                jnp.asarray(y_va[idx], jnp.float32),
+                jax.random.fold_in(val_rng, i),
+            )
+            for k, v in terms.items():
+                val_metrics.setdefault(k, []).append(float(v))
+
+        logs = {k: float(np.mean(v)) for k, v in epoch_metrics.items()}
+        logs.update({f"val_{k}": float(np.mean(v)) for k, v in val_metrics.items()})
+        for k, v in logs.items():
+            history.setdefault(k, []).append(v)
+        if verbose == 1:
+            msg = " ".join(f"{k}={v:.4f}" for k, v in logs.items())
+            print(f"epoch {epoch + 1}/{epochs}: {msg}")
+        for cb in callbacks or []:
+            cb.on_epoch_end(epoch, logs, state)
+
+    return state, history
+
+
+def train_deblender(
+    survey_name: str,
+    from_survey: str | None,
+    epochs: int,
+    training_data_vae: tuple,
+    validation_data_vae: tuple,
+    training_data_deblender: tuple,
+    validation_data_deblender: tuple,
+    nb_of_bands: int = 6,
+    channel_last: bool = True,
+    batch_size: int = 5,
+    with_callbacks: bool = False,
+    verbose: int = 2,
+    train_cfg: TrainConfig | None = None,
+    model_cfg: ModelConfig | None = None,
+    weights_dir: str | None = None,
+):
+    """Two-stage transfer trainer, signature-compatible with the reference
+    train_deblender (training/train.py:78-205).
+
+    Returns (hist_vae, hist_deblender, state, model).
+    """
+    from debvader_tpu.training import checkpoint as ckpt
+
+    model_cfg = model_cfg or ModelConfig(nb_of_bands=nb_of_bands)
+    train_cfg = train_cfg or TrainConfig(batch_size=batch_size)
+    model = DeblenderVAE(model_cfg)
+
+    # Channel-count validation (reference training/train.py:133-142)
+    data_axis = -1 if channel_last else 2
+    if np.shape(training_data_vae[0])[data_axis] != nb_of_bands:
+        raise ValueError(
+            "The number of bands in the data does not correspond to the "
+            "number of filters in the network."
+        )
+
+    state = create_train_state(model, train_cfg)
+
+    # Warm start from another survey's weights (training/train.py:145-154)
+    if from_survey is not None:
+        restored = ckpt.load_weights(from_survey, weights_dir=weights_dir)
+        state = state.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"]
+        )
+
+    callbacks_vae = (
+        ckpt.define_callbacks("vae", survey_name, weights_dir=weights_dir)
+        if with_callbacks
+        else None
+    )
+    state, hist_vae = train_network(
+        model, state, epochs, training_data_vae, validation_data_vae,
+        batch_size, callbacks_vae, verbose, train_cfg,
+    )
+
+    # Stage 2: fresh optimizer with the decoder frozen
+    state2 = create_train_state(
+        model,
+        train_cfg,
+        rng=state.rng,
+        freeze_decoder=True,
+        variables={"params": state.params, "batch_stats": state.batch_stats},
+    )
+    callbacks_debl = (
+        ckpt.define_callbacks("deblender", survey_name, weights_dir=weights_dir)
+        if with_callbacks
+        else None
+    )
+    state2, hist_deblender = train_network(
+        model, state2, epochs, training_data_deblender, validation_data_deblender,
+        batch_size, callbacks_debl, verbose, train_cfg,
+    )
+
+    return hist_vae, hist_deblender, state2, model
