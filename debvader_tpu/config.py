@@ -82,6 +82,13 @@ class DetectionConfig:
     filter_size: int = 7
     detection_band: int = 2  # r band (detect/detection.py:14)
     max_sources: int = 256  # static upper bound for jit-compatible outputs
+    # Detection-threshold normalization for the filtered image:
+    #   'matched'  -> thresh * rms * ||k||_2 (correct matched-filter
+    #                 significance; default)
+    #   'sep_conv' -> thresh * rms (bug-compatible with sep filter_type=
+    #                 'conv', which compares the unnormalized convolution
+    #                 against the unfiltered-noise threshold)
+    threshold_scaling: str = "matched"
 
 
 @dataclasses.dataclass(frozen=True)

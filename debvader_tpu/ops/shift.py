@@ -1,0 +1,131 @@
+"""Subpixel shifts and batched field assembly.
+
+The reference assembles residual/predicted fields by zero-padding every
+59x59 stamp to full field size and calling ``scipy.ndimage.shift`` per source
+per band (deblend/field_deblender.py:92-94,160-182) — O(sources x bands) full
+-field spline interpolations on the host.  TPU-native replacement:
+
+- the *fractional* part of each shift is applied to the small stamp itself
+  (bilinear gather, O(cutout^2));
+- the *integer* part becomes the placement offset of a dynamic-update-slice
+  scatter-add into the field canvas;
+- all sources render in one ``lax.scan`` inside a single jit, so residual
+  assembly is one device pass regardless of source count.
+
+Interpolation is bilinear (scipy order=1) rather than the reference's
+default cubic spline (order=3); SURVEY.md §7 hard-part (c) documents this
+choice — for the band-limited, PSF-smoothed stamps the VAE emits, the
+difference is far below the model's own uncertainty (validated in
+tests/test_shift.py against scipy order=3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["subpixel_shift", "render_field", "shift_full"]
+
+
+def subpixel_shift(img: jax.Array, shift: jax.Array) -> jax.Array:
+    """Bilinear equivalent of scipy.ndimage.shift(img, (dy, dx), order=1).
+
+    img: (H, W) or (H, W, C); shift: (2,) float.  output[i, j] =
+    img[i - dy, j - dx] with zeros outside the support.
+    """
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h, w, _ = img.shape
+    dy, dx = shift[0], shift[1]
+
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - dy
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - dx
+
+    y0 = jnp.floor(yy)
+    x0 = jnp.floor(xx)
+    fy = (yy - y0)[..., None]
+    fx = (xx - x0)[..., None]
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        v = img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+        return jnp.where(inside[..., None], v, 0.0)
+
+    out = (
+        tap(y0, x0) * (1 - fy) * (1 - fx)
+        + tap(y0, x0 + 1) * (1 - fy) * fx
+        + tap(y0 + 1, x0) * fy * (1 - fx)
+        + tap(y0 + 1, x0 + 1) * fy * fx
+    )
+    # scipy mode='constant' semantics: a sample coordinate outside the input
+    # extent yields cval outright (no partial blending at the border).
+    inside = (yy >= 0) & (yy <= h - 1) & (xx >= 0) & (xx <= w - 1)
+    out = jnp.where(inside[..., None], out, 0.0)
+    return out[..., 0] if squeeze else out
+
+
+def shift_full(img: jax.Array, shift: jax.Array) -> jax.Array:
+    """Full-image bilinear shift (drop-in for the reference's per-band
+    scipy.ndimage.shift on padded canvases)."""
+    return subpixel_shift(img, shift)
+
+
+@partial(jax.jit, static_argnames=("field_size",))
+def render_field(
+    stamps: jax.Array,
+    offsets: jax.Array,
+    field_size: int,
+    mask: jax.Array | None = None,
+) -> jax.Array:
+    """Sum of all stamps placed at (center + offset) in a field canvas.
+
+    stamps: (N, S, S, B); offsets: (N, 2) float — the reference's
+    (galaxy_distance_to_center + optimized_shift), i.e. the stamp is moved by
+    ``offset`` relative to being centered in the field
+    (field_deblender.py:69-94).  mask: optional (N,) bool — masked-out
+    sources contribute nothing (replaces the reference's passed_cuts
+    filtering).
+
+    Returns (field_size, field_size, B).
+    """
+    n, s, _, b = stamps.shape
+    pos0 = (field_size - s) // 2  # centered placement (field_deblender.py:72)
+
+    int_off = jnp.floor(offsets).astype(jnp.int32)
+    frac = offsets - int_off  # in [0, 1)
+
+    # Fractional shift needs one pixel of headroom on each side.
+    pad_s = s + 2
+    # Canvas padded so any clipped placement stays in bounds.
+    pad = pad_s
+    canvas_size = field_size + 2 * pad
+
+    def body(canvas, inputs):
+        stamp, ioff, f, m = inputs
+        stamp_p = jnp.pad(stamp, ((1, 1), (1, 1), (0, 0)))
+        shifted = subpixel_shift(stamp_p, f)
+        yu = pos0 + ioff[0] - 1 + pad
+        xu = pos0 + ioff[1] - 1 + pad
+        y = jnp.clip(yu, 0, canvas_size - pad_s)
+        x = jnp.clip(xu, 0, canvas_size - pad_s)
+        # With pad = pad_s any placement that overlaps the field at all is
+        # unclipped; clipping only fires for stamps entirely outside the
+        # padded canvas, which must contribute nothing (not wrap).
+        visible = m & (yu == y) & (xu == x)
+        shifted = jnp.where(visible, shifted, 0.0)
+        patch = jax.lax.dynamic_slice(canvas, (y, x, 0), (pad_s, pad_s, b))
+        canvas = jax.lax.dynamic_update_slice(canvas, patch + shifted, (y, x, 0))
+        return canvas, None
+
+    if mask is None:
+        mask = jnp.ones((n,), bool)
+    canvas = jnp.zeros((canvas_size, canvas_size, b), stamps.dtype)
+    canvas, _ = jax.lax.scan(
+        body, canvas, (stamps, int_off, frac, mask)
+    )
+    return canvas[pad : pad + field_size, pad : pad + field_size, :]

@@ -1,0 +1,283 @@
+"""Scene-level field deblending, batched on device.
+
+API-compatible rebuild of the reference ``DeblendField``
+(deblend/field_deblender.py:12-382).  Where the reference loops over sources
+in Python — one TF call per epistemic replica (100 per source!), one
+scipy.ndimage.shift per source per band — every per-source quantity here is
+one batched/jitted device program:
+
+- cutouts: vmapped dynamic-slice gather (ops/extraction.py)
+- stamp deblending: single batched VAE forward (api.deblend)
+- epistemic uncertainty: n_samples independent latent draws for ALL sources
+  in one device loop (api.deblend_samples), std over the sample axis
+- center-window MSE cuts: vectorized reduction
+- position registration: vmapped Gauss-Newton (ops/registration.py)
+- residual / predicted field assembly: one scan-based scatter-add render
+  (ops/shift.py render_field)
+
+Results are returned as the same pandas recarray the reference builds
+(field_deblender.py:366-380), so downstream notebook code ports unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from debvader_tpu.api import deblend, deblend_samples
+from debvader_tpu.config import PipelineConfig
+from debvader_tpu.ops.extraction import extract_cutouts
+from debvader_tpu.ops.registration import position_optimization_batch
+from debvader_tpu.ops.shift import render_field
+from debvader_tpu.training.losses import mse as _mse
+
+__all__ = ["DeblendField"]
+
+
+class DeblendField:
+    def __init__(
+        self,
+        net,
+        field_image,
+        cutout_size: int = 59,
+        nb_of_bands: int = 6,
+        epistemic_uncertainty_estimation: bool = False,
+        normalise: bool = False,
+        cfg: PipelineConfig | None = None,
+        rng: jax.Array | None = None,
+    ):
+        """net: (model, variables); field_image: (1, F, F, B) array.
+
+        Signature mirrors field_deblender.py:13-44; ``cfg`` and ``rng`` are
+        additive (defaults reproduce reference behavior).
+        """
+        self.net = net
+        self.field_image = np.array(field_image, dtype=np.float32)
+        self.field_size = self.field_image.shape[1]
+        self.cutout_size = cutout_size
+        self.nb_of_bands = nb_of_bands
+        self.epistemic_uncertainty_estimation = epistemic_uncertainty_estimation
+        self.normalise = normalise
+        self.cfg = cfg or PipelineConfig(
+            cutout_size=cutout_size, nb_of_bands=nb_of_bands
+        )
+        self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.nb_of_detected_objects: list[int] = []
+        self.nb_of_deblended_galaxies: list[int] = []
+        self.res_deblend = None
+        self.mse: list[float] = []
+
+    # ------------------------------------------------------------------ rng
+    def _next_rng(self) -> jax.Array:
+        self._rng, out = jax.random.split(self._rng)
+        return out
+
+    # ----------------------------------------------------------- deblending
+    def deblend_field(
+        self,
+        galaxy_distances_to_center,
+        cutout_images=None,
+        optimise_positions: bool = False,
+        epistemic_criterion: float = 100.0,
+        mse_criterion: float = 100.0,
+        field_image=None,
+    ):
+        """Single-pass scene deblend (field_deblender.py:219-382).
+
+        Returns a numpy recarray with columns cutout_images,
+        output_images_mean, output_images_stddev, shifts, list_idx,
+        galaxy_distances_to_center_x/y, epistemic_uncertainty, passed_cuts —
+        or a dict of Nones if nothing survives extraction (the reference's
+        early-exit contract, field_deblender.py:275-277).
+        """
+        empty = {
+            "cutout_images": None,
+            "output_images_mean": None,
+            "output_images_stddev": None,
+            "shifts": None,
+            "list_idx": None,
+        }
+
+        if field_image is None:
+            field_image = self.field_image.copy()
+        else:
+            field_image = np.asarray(field_image, np.float32)
+        field_size = field_image.shape[1]
+
+        centers = np.asarray(galaxy_distances_to_center, np.float32).reshape(-1, 2)
+
+        if isinstance(cutout_images, np.ndarray):
+            cutouts = jnp.asarray(cutout_images, jnp.float32)
+            list_idx = np.arange(len(cutouts))
+        else:
+            all_cutouts, valid = extract_cutouts(
+                field_image,
+                field_size,
+                centers,
+                self.cutout_size,
+                self.nb_of_bands,
+            )
+            valid = np.asarray(valid)
+            if not valid.any():
+                print("No galaxy deblended. End of the iterative procedure.")
+                self.nb_of_detected_objects.append(len(centers))
+                self.nb_of_deblended_galaxies.append(0)
+                return empty
+            if not valid.all():
+                print(
+                    "Some galaxies are too close from the border of the "
+                    "field to be considered here."
+                )
+            list_idx = np.flatnonzero(valid)
+            cutouts = jnp.asarray(all_cutouts)[jnp.asarray(list_idx)]
+
+        n = len(list_idx)
+        if n == 0:
+            print("No galaxy deblended. End of the iterative procedure.")
+            self.nb_of_detected_objects.append(len(centers))
+            self.nb_of_deblended_galaxies.append(0)
+            return empty
+
+        # One batched VAE forward for all sources (hot path).
+        means, dist = deblend(
+            self.net, cutouts, normalise=self.normalise, rng=self._next_rng()
+        )
+        stddevs = np.asarray(dist.stddev())
+
+        # r band where available (reference hardcodes channel 2,
+        # optimization.py:34, field_deblender.py:314-316)
+        band = 2 if self.nb_of_bands > 2 else 0
+
+        # Epistemic uncertainty: all sources x all replicas in one device
+        # loop (replaces the 100-forwards-per-source loop at
+        # field_deblender.py:303-316).
+        if self.epistemic_uncertainty_estimation:
+            samples = deblend_samples(
+                self.net,
+                cutouts,
+                n_samples=self.cfg.epistemic_samples,
+                rng=self._next_rng(),
+                normalise=self.normalise,
+            )
+            epistemic = np.asarray(jnp.std(samples, axis=0))
+            epi_norm = epistemic[..., band].sum(axis=(1, 2)) / np.maximum(
+                means[..., band].sum(axis=(1, 2)), 1e-30
+            )
+        else:
+            epistemic = np.zeros_like(means)
+            epi_norm = np.zeros(n)
+
+        # Central-window MSE cut (field_deblender.py:323-332).
+        w = self.cfg.mse_window
+        c0 = self.cutout_size // 2 - w
+        c1 = self.cutout_size // 2 + w
+        cut_np = np.asarray(cutouts)
+        mse_center = np.mean(
+            np.square(cut_np[:, c0:c1, c0:c1] - means[:, c0:c1, c0:c1]),
+            axis=(1, 2, 3),
+        )
+
+        dets = centers[list_idx]
+
+        if optimise_positions:
+            shifts = np.asarray(
+                position_optimization_batch(
+                    jnp.asarray(field_image[0, :, :, band]),
+                    jnp.asarray(means[..., band]),
+                    jnp.asarray(dets),
+                    bound=self.cfg.position_bounds,
+                    iterations=self.cfg.gn_iterations,
+                )
+            )
+        else:
+            shifts = np.zeros((n, 2), np.float32)
+
+        passed_cuts = ~((epi_norm > epistemic_criterion) | (mse_center > mse_criterion))
+
+        self.nb_of_detected_objects.append(len(centers))
+        self.nb_of_deblended_galaxies.append(n)
+
+        res = {
+            "cutout_images": list(np.asarray(cut_np)),
+            "output_images_mean": list(means),
+            "output_images_stddev": list(stddevs),
+            "shifts": list(shifts),
+            "list_idx": list(np.asarray(list_idx)),
+            "galaxy_distances_to_center_x": list(dets[:, 0]),
+            "galaxy_distances_to_center_y": list(dets[:, 1]),
+            "epistemic_uncertainty": list(epistemic),
+            "passed_cuts": list(passed_cuts),
+        }
+        self.res_deblend = pd.DataFrame(res).to_records(index=False)
+        return self.res_deblend
+
+    # ------------------------------------------------------------ rendering
+    def _stacked(self, res_deblend, key):
+        return np.stack([np.asarray(row[key]) for row in res_deblend]).astype(
+            np.float32
+        )
+
+    def _offsets(self, res_deblend):
+        out = np.zeros((len(res_deblend), 2), np.float32)
+        for i, row in enumerate(res_deblend):
+            out[i, 0] = row["galaxy_distances_to_center_x"] + row["shifts"][0]
+            out[i, 1] = row["galaxy_distances_to_center_y"] + row["shifts"][1]
+        return out
+
+    def get_residual_field(self, res_deblend=None):
+        """field - sum of shifted predicted means (field_deblender.py:46-97).
+        Assembled in one scatter-add render instead of per-source full-field
+        spline shifts."""
+        if res_deblend is None:
+            res_deblend = self.res_deblend
+        deblended_image = self.field_image.copy()
+        if res_deblend is not None and len(res_deblend):
+            means = self._stacked(res_deblend, "output_images_mean")
+            offs = self._offsets(res_deblend)
+            rendered = np.asarray(
+                render_field(jnp.asarray(means), jnp.asarray(offs), self.field_size)
+            )
+            deblended_image[0] -= rendered
+        return deblended_image
+
+    def get_predicted_field(self, res_deblend=None):
+        """Accumulated mean / stddev / epistemic canvases
+        (field_deblender.py:99-189), one render per quantity."""
+        if res_deblend is None:
+            res_deblend = self.res_deblend
+        shape = (self.field_size, self.field_size, self.nb_of_bands)
+        out = {
+            "predicted_mean_field": np.zeros(shape, np.float32),
+            "predicted_stddev_field": np.zeros(shape, np.float32),
+            "predicted_epistemic_field": np.zeros(shape, np.float32),
+        }
+        if res_deblend is not None and len(res_deblend):
+            offs = jnp.asarray(self._offsets(res_deblend))
+            for key, col in (
+                ("predicted_mean_field", "output_images_mean"),
+                ("predicted_stddev_field", "output_images_stddev"),
+                ("predicted_epistemic_field", "epistemic_uncertainty"),
+            ):
+                if (
+                    key == "predicted_epistemic_field"
+                    and not self.epistemic_uncertainty_estimation
+                ):
+                    continue
+                stamps = jnp.asarray(self._stacked(res_deblend, col))
+                out[key] = np.asarray(render_field(stamps, offs, self.field_size))
+        return out
+
+    def get_deblending_meta_data(self, res_deblend=None):
+        """Bundle of field, residual, and predicted canvases
+        (field_deblender.py:191-217)."""
+        meta = {"field_image": self.field_image}
+        meta["deblended_image"] = self.get_residual_field(res_deblend)
+        meta.update(
+            {
+                k: v
+                for k, v in self.get_predicted_field(res_deblend).items()
+            }
+        )
+        return meta

@@ -1,0 +1,135 @@
+"""Iterative detect -> deblend -> subtract scene deblending.
+
+Rebuild of the reference ``IterativeDeblendField``
+(deblend_iterative/iterative_deblender.py:8-152) with the same control flow
+and termination semantics:
+
+- first step deblends the raw field (optionally with given centers/cutouts);
+- each further step runs detection on the *residual* field and deblends the
+  new sources;
+- the loop continues while a step finds strictly more shifts than the
+  previous one (iterative_deblender.py:58);
+- a step that deblends zero new galaxies returns the whole accumulated
+  recarray (iterative_deblender.py:141-143 quirk, preserved);
+- ``list_idx`` of each step is offset by the number of galaxies already
+  found (iterative_deblender.py:145-147).
+
+Detection runs the JAX sep-equivalent (ops/detection.py) instead of the C
+library.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from debvader_tpu.ops.detection import detect_objects
+from debvader_tpu.pipeline.field import DeblendField
+from debvader_tpu.training.losses import mse as _jmse
+
+__all__ = ["IterativeDeblendField"]
+
+
+def _mse(a, b) -> float:
+    return float(np.mean(np.square(np.asarray(a) - np.asarray(b))))
+
+
+class IterativeDeblendField(DeblendField):
+    def iterative_deblending(
+        self,
+        galaxy_distances_to_center=None,
+        cutout_images=None,
+        optimise_positions: bool = False,
+        epistemic_criterion: float = 100.0,
+        mse_criterion: float = 100.0,
+    ):
+        """Detect-subtract-repeat until no new sources appear
+        (iterative_deblender.py:21-99)."""
+        field_image = self.field_image.copy()
+        res_step = self.deblending_step(
+            field_image,
+            galaxy_distances_to_center=galaxy_distances_to_center,
+            cutout_images=cutout_images,
+            optimise_positions=optimise_positions,
+            epistemic_criterion=epistemic_criterion,
+            mse_criterion=mse_criterion,
+        )
+        res_deblend = res_step
+        if res_step is None or res_step["list_idx"] is None:
+            print("converged !")
+            return self.res_deblend
+
+        new_residual_field = self.get_residual_field()
+        self.mse.append(_mse(self.field_image, new_residual_field))
+        shifts_previous: list = []
+        k = 1
+
+        while res_step["shifts"] is not None and len(res_step["shifts"]) > len(
+            shifts_previous
+        ):
+            print(f"iteration {k}")
+            shifts_previous = res_step["shifts"]
+            prev_residual_field = new_residual_field
+
+            res_step = self.deblending_step(
+                prev_residual_field,
+                optimise_positions=optimise_positions,
+                epistemic_criterion=epistemic_criterion,
+                mse_criterion=mse_criterion,
+            )
+
+            new_residual_field = self.get_residual_field()
+            self.mse.append(_mse(prev_residual_field, new_residual_field))
+
+            if res_step is None or res_step["list_idx"] is None:
+                break
+
+            res_deblend = np.concatenate([res_deblend, res_step])
+            k += 1
+            print(
+                f"{sum(self.nb_of_deblended_galaxies)} galaxies found up to this step."
+            )
+
+        print("converged !")
+        self.res_deblend = res_deblend
+        return self.res_deblend
+
+    def deblending_step(
+        self,
+        field_image,
+        galaxy_distances_to_center=None,
+        cutout_images=None,
+        optimise_positions: bool = False,
+        epistemic_criterion: float = 100.0,
+        mse_criterion: float = 100.0,
+    ):
+        """One detect+deblend pass (iterative_deblender.py:101-152)."""
+        if galaxy_distances_to_center is None:
+            detection_k = detect_objects(field_image)
+        else:
+            detection_k = np.asarray(galaxy_distances_to_center)
+
+        if len(detection_k) == 0:
+            print("No more galaxies found")
+            return self.res_deblend
+
+        res_step = self.deblend_field(
+            field_image=field_image,
+            galaxy_distances_to_center=detection_k,
+            cutout_images=cutout_images,
+            optimise_positions=optimise_positions,
+            epistemic_criterion=epistemic_criterion,
+            mse_criterion=mse_criterion,
+        )
+
+        if res_step["list_idx"] is None or len(res_step["list_idx"]) == 0:
+            print("No more galaxies found")
+            return self.res_deblend
+
+        # Offset list_idx by the galaxies found in earlier steps
+        # (iterative_deblender.py:145-147).
+        offset = sum(self.nb_of_deblended_galaxies) - self.nb_of_deblended_galaxies[-1]
+        if offset:
+            res_step["list_idx"] += offset
+
+        print(f"Deblend {self.nb_of_deblended_galaxies[-1]} more galaxy(ies)")
+        return res_step

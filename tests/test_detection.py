@@ -1,0 +1,165 @@
+"""Detection tests: background estimation, thresholding, watershed
+segmentation/deblending, centroids, minarea, and the reference offset
+convention — on synthetic fields with known ground truth, plus DC2 sanity."""
+
+import numpy as np
+import pytest
+
+from debvader_tpu.config import DetectionConfig
+from debvader_tpu.ops.detection import (
+    default_filter_kernel,
+    detect_objects,
+    detect_sources,
+    estimate_background,
+)
+
+
+def _field(f=128, noise=0.02, back=5.0, seed=0):
+    rng = np.random.default_rng(seed)
+    return (back + noise * rng.normal(size=(f, f))).astype(np.float32)
+
+
+def _add_gauss(img, cy, cx, amp, sigma=1.6):
+    f = img.shape[0]
+    yy, xx = np.mgrid[:f, :f]
+    img += amp * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sigma**2))
+    return img
+
+
+def test_filter_kernel_matches_reference_matrix():
+    # The reference hardcodes the 7x7 FWHM-3 Gaussian (detection.py:25-35);
+    # our analytic regeneration must match it.
+    ref = np.array(
+        [
+            [0.004963, 0.021388, 0.051328, 0.068707, 0.051328, 0.021388, 0.004963],
+            [0.021388, 0.092163, 0.221178, 0.296069, 0.221178, 0.092163, 0.021388],
+            [0.051328, 0.221178, 0.530797, 0.710525, 0.530797, 0.221178, 0.051328],
+            [0.068707, 0.296069, 0.710525, 0.951108, 0.710525, 0.296069, 0.068707],
+            [0.051328, 0.221178, 0.530797, 0.710525, 0.530797, 0.221178, 0.051328],
+            [0.021388, 0.092163, 0.221178, 0.296069, 0.221178, 0.092163, 0.021388],
+            [0.004963, 0.021388, 0.051328, 0.068707, 0.051328, 0.021388, 0.004963],
+        ]
+    )
+    got = default_filter_kernel(7, 3.0)
+    # the reference matrix is normalized to the same center-relative profile
+    np.testing.assert_allclose(got / got.max(), ref / ref.max(), atol=2e-4)
+
+
+def test_background_estimation_flat_field():
+    img = _field(f=128, noise=0.05, back=7.0)
+    back, rms, gb, grms = estimate_background(img, box=32)
+    np.testing.assert_allclose(float(gb), 7.0, atol=0.01)
+    np.testing.assert_allclose(float(grms), 0.05, rtol=0.1)
+    np.testing.assert_allclose(np.asarray(back), 7.0, atol=0.02)
+
+
+def test_background_gradient_field():
+    f = 128
+    yy, _ = np.mgrid[:f, :f]
+    img = (3.0 + 0.01 * yy + 0.02 * np.random.default_rng(1).normal(size=(f, f))).astype(
+        np.float32
+    )
+    back, _, _, _ = estimate_background(img, box=32)
+    # mesh + bilinear tracks the gradient away from the edges
+    err = np.abs(np.asarray(back) - (3.0 + 0.01 * yy))[16:-16, 16:-16]
+    assert err.max() < 0.05
+
+
+def test_detect_isolated_sources_count_and_centroids():
+    img = _field()
+    truth = [(30.0, 40.0, 3.0), (90.0, 100.0, 2.0), (64.0, 20.0, 5.0)]
+    for cy, cx, a in truth:
+        _add_gauss(img, cy, cx, a)
+    obj = detect_sources(img, DetectionConfig(thresh=25.0))
+    assert len(obj["y"]) == 3
+    got = sorted(zip(obj["y"], obj["x"]))
+    want = sorted((cy, cx) for cy, cx, _ in truth)
+    for (gy, gx), (wy, wx) in zip(got, want):
+        assert abs(gy - wy) < 0.5 and abs(gx - wx) < 0.5
+
+
+def test_deblend_splits_close_pair():
+    # two peaks 6 px apart: a single threshold component, must split
+    img = _field(noise=0.01)
+    _add_gauss(img, 60.0, 60.0, 3.0)
+    _add_gauss(img, 60.0, 66.0, 2.5)
+    obj = detect_sources(img, DetectionConfig(thresh=25.0))
+    assert len(obj["y"]) == 2
+    xs = sorted(obj["x"])
+    assert abs(xs[0] - 60.0) < 1.0 and abs(xs[1] - 66.0) < 1.0
+
+
+def test_minarea_rejects_single_pixel_spikes():
+    # A marginal single-pixel spike clears threshold only at its center
+    # after filtering (area 1 < minarea); a real source survives.
+    # threshold = 25 * 0.01 * ||k||_2 ~= 0.565; spike amp 0.7 filters to
+    # ~0.67 at center, ~0.50 at the 4-neighbors.
+    img = _field(noise=0.01)
+    img[50, 50] += 0.7
+    _add_gauss(img, 90.0, 90.0, 3.0)
+    obj = detect_sources(img, DetectionConfig(thresh=25.0, minarea=4))
+    assert all(abs(y - 90) < 1 for y in obj["y"])
+    assert len(obj["y"]) == 1
+
+
+def test_empty_field_no_detections():
+    img = _field(noise=0.02)
+    obj = detect_sources(img, DetectionConfig(thresh=5.0))
+    assert len(obj["y"]) == 0
+    det = detect_objects(img, DetectionConfig(thresh=5.0))
+    assert det.shape == (0, 2)
+
+
+def test_detect_objects_offset_convention():
+    # reference: offsets = round(-int(F/2) + y) (detection.py:48-56)
+    img = _field(f=101, noise=0.01)
+    _add_gauss(img, 70.0, 30.0, 4.0)
+    det = detect_objects(img, DetectionConfig(thresh=25.0))
+    assert det.shape == (1, 2)
+    np.testing.assert_array_equal(det[0], [70 - 50, 30 - 50])
+
+
+def test_detect_objects_multiband_uses_r_band():
+    f = 101
+    field = np.zeros((1, f, f, 6), np.float32)
+    rng = np.random.default_rng(0)
+    field += 0.01 * rng.normal(size=field.shape).astype(np.float32)
+    band2 = field[0, :, :, 2].copy()
+    _add_gauss(band2, 40.0, 60.0, 3.0)
+    field[0, :, :, 2] = band2
+    det = detect_objects(field, DetectionConfig(thresh=25.0))
+    assert det.shape == (1, 2)
+    np.testing.assert_array_equal(det[0], [40 - 50, 60 - 50])
+
+
+def test_sep_conv_threshold_mode_runs():
+    img = _field(noise=0.01)
+    _add_gauss(img, 50.0, 50.0, 2.0)
+    obj = detect_sources(img, DetectionConfig(thresh=25.0, threshold_scaling="sep_conv"))
+    assert len(obj["y"]) >= 1
+
+
+@pytest.mark.parametrize("idx", [2])
+def test_dc2_field_detection_sanity(idx):
+    # Bundled DC2 field: detection must find at least the truth sources'
+    # scale of objects and produce offsets inside the field.
+    field = np.load(
+        f"/root/reference/src/debvader/data/dc2_imgs/field/field_img_{idx}.npy"
+    )
+    truth = np.load(
+        "/root/reference/src/debvader/data/dc2_imgs/field/"
+        f"gal_coordinates_complete_truth_catalog_{idx}.npy"
+    )
+    center = np.load(
+        "/root/reference/src/debvader/data/dc2_imgs/field/"
+        f"field_center_{idx}.npy"
+    )
+    det = detect_objects(field)
+    assert len(det) >= len(truth) // 2
+    assert (np.abs(det) <= field.shape[1] // 2 + 4).all()
+    # most truth sources should have a detection within a few px.  The
+    # truth catalog stores (x, y) global pixel coords; detections are
+    # (row, col) offsets, so compare against (truth - center) swapped.
+    tr = (np.asarray(truth, np.float64) - center)[:, [1, 0]]
+    d = np.linalg.norm(tr[:, None, :2] - det[None, :, :2], axis=-1).min(1)
+    assert np.median(d) < 1.5

@@ -1,0 +1,196 @@
+"""Scene-pipeline tests: DeblendField batched deblending, residual and
+predicted field assembly, cuts, position optimization hook, iterative loop
+termination, and the DC2 end-to-end slice with truth centers."""
+
+import jax
+import numpy as np
+import pytest
+
+from debvader_tpu.config import ModelConfig, PipelineConfig
+from debvader_tpu.models.vae import DeblenderVAE, init_vae
+from debvader_tpu.pipeline.field import DeblendField
+from debvader_tpu.pipeline.iterative import IterativeDeblendField
+
+TINY = ModelConfig(stamp_size=23, nb_of_bands=3, latent_dim=4, filters=(4, 8), kernels=(3, 3))
+
+
+@pytest.fixture(scope="module")
+def tiny_net():
+    model = DeblenderVAE(TINY)
+    variables = init_vae(model, jax.random.PRNGKey(0))
+    return model, variables
+
+
+def _tiny_field(f=61, bands=3, n_src=3, seed=0):
+    rng = np.random.default_rng(seed)
+    field = 0.01 * rng.normal(size=(1, f, f, bands)).astype(np.float32)
+    yy, xx = np.mgrid[:f, :f]
+    centers = []
+    for _ in range(n_src):
+        cy, cx = rng.integers(15, f - 15, size=2)
+        amp = rng.uniform(1, 3)
+        blob = amp * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 8.0)
+        field[0] += blob[:, :, None]
+        centers.append((cy - f // 2, cx - f // 2))
+    return field, np.asarray(centers, np.float32)
+
+
+def _pipe_cfg():
+    return PipelineConfig(cutout_size=23, nb_of_bands=3, epistemic_samples=8)
+
+
+def test_deblend_field_shapes_and_recarray(tiny_net):
+    field, centers = _tiny_field()
+    df = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    res = df.deblend_field(centers)
+    assert len(res) == len(centers)
+    names = res.dtype.names
+    for col in (
+        "cutout_images", "output_images_mean", "output_images_stddev",
+        "shifts", "list_idx", "galaxy_distances_to_center_x",
+        "galaxy_distances_to_center_y", "epistemic_uncertainty", "passed_cuts",
+    ):
+        assert col in names
+    assert res[0]["output_images_mean"].shape == (23, 23, 3)
+    assert df.nb_of_detected_objects == [3]
+    assert df.nb_of_deblended_galaxies == [3]
+
+
+def test_deblend_field_border_sources_dropped(tiny_net):
+    field, _ = _tiny_field()
+    centers = np.array([[0.0, 0.0], [100.0, 100.0]], np.float32)  # 2nd off-field
+    df = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    res = df.deblend_field(centers)
+    assert len(res) == 1
+    assert list(res["list_idx"]) == [0]
+
+
+def test_deblend_field_all_border_returns_none_dict(tiny_net):
+    field, _ = _tiny_field()
+    centers = np.array([[100.0, 100.0]], np.float32)
+    df = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    res = df.deblend_field(centers)
+    assert isinstance(res, dict) and res["list_idx"] is None
+
+
+def test_deblend_field_with_provided_cutouts(tiny_net):
+    field, centers = _tiny_field()
+    from debvader_tpu.ops.extraction import extract_cutouts
+
+    cutouts, valid = extract_cutouts(field, 61, centers, 23, 3)
+    df = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    res = df.deblend_field(centers, cutout_images=np.asarray(cutouts))
+    assert len(res) == len(centers)
+
+
+def test_residual_and_predicted_fields(tiny_net):
+    field, centers = _tiny_field()
+    df = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    df.deblend_field(centers)
+    resid = df.get_residual_field()
+    assert resid.shape == field.shape
+    pred = df.get_predicted_field()
+    assert pred["predicted_mean_field"].shape == (61, 61, 3)
+    # residual + rendered prediction == original field
+    np.testing.assert_allclose(
+        resid[0] + pred["predicted_mean_field"], field[0], atol=1e-4
+    )
+    meta = df.get_deblending_meta_data()
+    for k in (
+        "field_image", "deblended_image", "predicted_mean_field",
+        "predicted_stddev_field", "predicted_epistemic_field",
+    ):
+        assert k in meta
+
+
+def test_epistemic_estimation(tiny_net):
+    field, centers = _tiny_field()
+    df = DeblendField(
+        tiny_net, field, cutout_size=23, nb_of_bands=3,
+        epistemic_uncertainty_estimation=True, cfg=_pipe_cfg(),
+    )
+    res = df.deblend_field(centers)
+    epi = np.stack([np.asarray(r["epistemic_uncertainty"]) for r in res])
+    assert epi.shape == (3, 23, 23, 3)
+    assert epi.std() > 0  # sampled latents give nonzero spread
+
+
+def test_mse_criterion_cuts(tiny_net):
+    field, centers = _tiny_field()
+    df = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    res = df.deblend_field(centers, mse_criterion=0.0)  # everything fails
+    assert not any(res["passed_cuts"])
+    res = df.deblend_field(centers, mse_criterion=1e9)
+    assert all(res["passed_cuts"])
+
+
+def test_optimise_positions_runs(tiny_net):
+    field, centers = _tiny_field()
+    df = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    res = df.deblend_field(centers, optimise_positions=True)
+    shifts = np.stack(list(res["shifts"]))
+    assert shifts.shape == (3, 2)
+    assert (np.abs(shifts) <= 3.0 + 1e-6).all()
+
+
+def test_normalise_path(tiny_net):
+    field, centers = _tiny_field()
+    df = DeblendField(
+        tiny_net, field, cutout_size=23, nb_of_bands=3, normalise=True, cfg=_pipe_cfg()
+    )
+    res = df.deblend_field(centers)
+    assert np.isfinite(np.stack(list(res["output_images_mean"]))).all()
+
+
+def test_iterative_deblending_terminates(tiny_net):
+    field, centers = _tiny_field(n_src=4, seed=3)
+    idf = IterativeDeblendField(
+        tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg()
+    )
+    res = idf.iterative_deblending(galaxy_distances_to_center=centers)
+    assert res is not None
+    assert len(idf.mse) >= 1
+    # one list_idx per accumulated row, offset by prior step counts
+    # (reference semantics allow collisions when border sources drop,
+    # iterative_deblender.py:145-147)
+    idx = list(res["list_idx"])
+    assert len(idx) == len(res)
+    assert all(i >= 0 for i in idx)
+
+
+def test_iterative_empty_field_converges(tiny_net):
+    rng = np.random.default_rng(0)
+    field = 0.001 * rng.normal(size=(1, 61, 61, 3)).astype(np.float32)
+    idf = IterativeDeblendField(
+        tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg()
+    )
+    res = idf.iterative_deblending(galaxy_distances_to_center=np.zeros((0, 2)))
+    # nothing to deblend: returns whatever res_deblend is (None) without crash
+    assert res is None or res is idf.res_deblend
+
+
+@pytest.mark.slow
+def test_dc2_field_end_to_end_slice():
+    """BASELINE.json config 1: extract + deblend the bundled DC2 field with
+    truth-catalog centers, full-size model (random weights — the bundled
+    checkpoint's data shard is stripped from the snapshot)."""
+    field = np.load(
+        "/root/reference/src/debvader/data/dc2_imgs/field/field_img_2.npy"
+    )
+    truth = np.load(
+        "/root/reference/src/debvader/data/dc2_imgs/field/"
+        "gal_coordinates_complete_truth_catalog_2.npy"
+    )
+    center = np.load(
+        "/root/reference/src/debvader/data/dc2_imgs/field/field_center_2.npy"
+    )
+    offsets = (truth - center)[:, [1, 0]]  # truth is (x, y) global
+
+    model = DeblenderVAE(ModelConfig())
+    variables = init_vae(model, jax.random.PRNGKey(0))
+    df = DeblendField((model, variables), field)
+    res = df.deblend_field(offsets)
+    assert len(res) > 0
+    resid = df.get_residual_field()
+    assert resid.shape == field.shape
+    assert np.isfinite(resid).all()

@@ -1,0 +1,97 @@
+"""Native C++ data loader tests: build, correctness, dtype conversion,
+shuffling determinism, epoch coverage, fallback parity."""
+
+import numpy as np
+import pytest
+
+from debvader_tpu.runtime.loader import (
+    NativeNpyLoader,
+    NumpyLoader,
+    make_loader,
+    native_available,
+)
+
+
+@pytest.fixture(scope="module")
+def npy_pair(tmp_path_factory):
+    d = tmp_path_factory.mktemp("data")
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(200, 9, 9, 2))  # float64: loader must downconvert
+    y = x * 0.5
+    xp, yp = d / "x.npy", d / "y.npy"
+    np.save(xp, x)
+    np.save(yp, y)
+    return xp, yp, x, y
+
+
+needs_native = pytest.mark.skipif(
+    not native_available(), reason="g++ unavailable"
+)
+
+
+@needs_native
+def test_native_batches_match_source(npy_pair):
+    xp, yp, x, y = npy_pair
+    ld = NativeNpyLoader(xp, yp, 16, shuffle=False, seed=0)
+    bx, by = ld.next_batch()
+    assert bx.shape == (16, 9, 9, 2) and bx.dtype == np.float32
+    np.testing.assert_allclose(bx, x[:16].astype(np.float32))
+    np.testing.assert_allclose(by, y[:16].astype(np.float32))
+    ld.close()
+
+
+@needs_native
+def test_native_shuffle_covers_epoch(npy_pair):
+    xp, yp, x, _ = npy_pair
+    ld = NativeNpyLoader(xp, yp, 20, shuffle=True, seed=3)
+    seen = []
+    for _ in range(len(ld)):  # one epoch
+        bx, _ = ld.next_batch()
+        seen.append(bx)
+    ld.close()
+    got = np.sort(np.concatenate(seen).sum(axis=(1, 2, 3)))
+    want = np.sort(x.astype(np.float32).sum(axis=(1, 2, 3)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+@needs_native
+def test_native_deterministic_given_seed(npy_pair):
+    xp, yp, _, _ = npy_pair
+    a = NativeNpyLoader(xp, yp, 16, shuffle=True, seed=11)
+    b1, _ = a.next_batch()
+    a.close()
+    b = NativeNpyLoader(xp, yp, 16, shuffle=True, seed=11)
+    b2, _ = b.next_batch()
+    b.close()
+    np.testing.assert_array_equal(b1, b2)
+
+
+@needs_native
+def test_native_open_errors(npy_pair, tmp_path):
+    xp, yp, _, _ = npy_pair
+    with pytest.raises(RuntimeError):
+        NativeNpyLoader(tmp_path / "missing.npy", yp, 16)
+    # batch size larger than rows
+    with pytest.raises(RuntimeError):
+        NativeNpyLoader(xp, yp, 10_000)
+
+
+def test_numpy_fallback_contract(npy_pair):
+    _, _, x, y = npy_pair
+    ld = NumpyLoader(x, y, 16, shuffle=True, seed=0)
+    bx, by = ld.next_batch()
+    assert bx.shape == (16, 9, 9, 2) and bx.dtype == np.float32
+    assert len(ld) == 12
+    ld.close()
+
+
+def test_make_loader_dispatch(npy_pair):
+    xp, yp, x, y = npy_pair
+    ld = make_loader(x, y, 8)
+    assert isinstance(ld, NumpyLoader)
+    ld2 = make_loader(xp, yp, 8)
+    if native_available():
+        assert isinstance(ld2, NativeNpyLoader)
+    bx, _ = ld2.next_batch()
+    assert bx.shape == (8, 9, 9, 2)
+    ld2.close()

@@ -1,0 +1,154 @@
+"""Shift/render parity vs scipy.ndimage and registration recovery tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.ndimage
+
+from debvader_tpu.ops.registration import (
+    position_optimization,
+    position_optimization_batch,
+)
+from debvader_tpu.ops.shift import render_field, subpixel_shift
+
+
+def _gauss(s, cy, cx, sigma=3.0):
+    yy, xx = np.mgrid[:s, :s]
+    return np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sigma**2)).astype(
+        np.float32
+    )
+
+
+def test_subpixel_shift_matches_scipy_order1(rng_np):
+    img = rng_np.random((21, 21)).astype(np.float32)
+    for shift in [(0.0, 0.0), (1.0, -2.0), (0.3, 0.7), (-1.6, 2.4), (5.9, -3.1)]:
+        got = np.asarray(subpixel_shift(jnp.asarray(img), jnp.asarray(shift)))
+        want = scipy.ndimage.shift(img, shift, order=1, mode="constant", cval=0.0)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_subpixel_shift_close_to_spline3_on_smooth_images():
+    # SURVEY.md §7 hard part (c): bilinear vs the reference's cubic spline on
+    # PSF-smooth profiles.  Measured: <= ~2.6e-2 of unit peak at half-pixel
+    # shifts for sigma=3 Gaussians — below the VAE's own reconstruction
+    # error on DC2 stamps.  This pins the documented divergence.
+    img = _gauss(31, 15.0, 15.0, sigma=3.0)
+    for shift in [(0.5, 0.5), (1.3, -0.7), (-2.2, 0.9)]:
+        got = np.asarray(subpixel_shift(jnp.asarray(img), jnp.asarray(shift)))
+        want = scipy.ndimage.shift(img, shift, order=3, mode="constant")
+        assert np.abs(got - want).max() < 3e-2
+
+
+def test_subpixel_shift_multichannel(rng_np):
+    img = rng_np.random((11, 11, 3)).astype(np.float32)
+    got = np.asarray(subpixel_shift(jnp.asarray(img), jnp.asarray([0.5, -0.25])))
+    for c in range(3):
+        want = scipy.ndimage.shift(img[..., c], (0.5, -0.25), order=1, mode="constant")
+        np.testing.assert_allclose(got[..., c], want, atol=1e-5)
+
+
+def _reference_render(stamps, offsets, field_size):
+    """The reference's padded-canvas + full-field shift assembly
+    (field_deblender.py:69-94) with order-1 interpolation."""
+    n, s, _, b = stamps.shape
+    out = np.zeros((field_size, field_size, b))
+    pos0 = (field_size - s) // 2
+    for i in range(n):
+        padded = np.zeros((field_size, field_size, b))
+        padded[pos0 : pos0 + s, pos0 : pos0 + s] = stamps[i]
+        for band in range(b):
+            out[:, :, band] += scipy.ndimage.shift(
+                padded[:, :, band], offsets[i], order=1, mode="constant"
+            )
+    return out
+
+
+def test_render_field_matches_reference_assembly(rng_np):
+    stamps = rng_np.random((4, 7, 7, 2)).astype(np.float32)
+    offsets = np.array(
+        [[0.0, 0.0], [3.25, -2.5], [-6.75, 4.1], [10.0, 10.0]], np.float32
+    )
+    got = np.asarray(render_field(jnp.asarray(stamps), jnp.asarray(offsets), 25))
+    want = _reference_render(stamps, offsets, 25)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_render_field_off_field_source_contributes_nothing(rng_np):
+    stamps = rng_np.random((1, 7, 7, 1)).astype(np.float32)
+    # offset far outside the field
+    got = np.asarray(render_field(jnp.asarray(stamps), jnp.asarray([[40.0, 0.0]]), 25))
+    np.testing.assert_array_equal(got, 0.0)
+
+
+def test_render_field_partially_visible_source(rng_np):
+    stamps = np.ones((1, 7, 7, 1), np.float32)
+    offsets = np.array([[11.0, 0.0]], np.float32)  # hangs off the bottom edge
+    got = np.asarray(render_field(jnp.asarray(stamps), jnp.asarray(offsets), 25))
+    want = _reference_render(stamps, offsets, 25)
+    np.testing.assert_allclose(got[..., 0], want[..., 0], atol=1e-5)
+    assert got.sum() > 0
+
+
+def test_render_field_mask(rng_np):
+    stamps = rng_np.random((3, 5, 5, 1)).astype(np.float32)
+    offsets = np.zeros((3, 2), np.float32)
+    mask = jnp.asarray([True, False, True])
+    got = np.asarray(render_field(jnp.asarray(stamps), jnp.asarray(offsets), 15, mask))
+    want = _reference_render(stamps[[0, 2]], offsets[[0, 2]], 15)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_position_optimization_recovers_known_shift():
+    # Plant a galaxy at center + (1.7, -0.8); detector reports (1, -1)
+    # (integer detection); the optimizer must recover the residual.
+    f, s = 41, 15
+    true_shift = np.array([1.7, -0.8])
+    det = np.array([1.0, -1.0])
+    stamp = _gauss(s, 7.0, 7.0, sigma=2.0)
+    field = np.zeros((f, f, 3), np.float32)
+    pos0 = (f - s) // 2
+    padded = np.zeros((f, f), np.float32)
+    padded[pos0 : pos0 + s, pos0 : pos0 + s] = stamp
+    field[..., 2] = scipy.ndimage.shift(padded, true_shift, order=1)
+
+    pred_padded = np.zeros((f, f, 3), np.float32)
+    pred_padded[..., 2] = padded
+
+    sx, sy = position_optimization(field, pred_padded, det)
+    np.testing.assert_allclose([det[0] + sx, det[1] + sy], true_shift, atol=0.05)
+
+
+def test_position_optimization_batch_multiple_sources():
+    f, s = 51, 15
+    stamp = _gauss(s, 7.0, 7.0, sigma=2.0)
+    dets = np.array([[-10.0, -10.0], [12.0, 5.0]], np.float32)
+    resid = np.array([[0.6, -0.4], [-1.2, 0.9]], np.float32)
+    field = np.zeros((f, f), np.float32)
+    pos0 = (f - s) // 2
+    for d, r in zip(dets, resid):
+        padded = np.zeros((f, f), np.float32)
+        padded[pos0 : pos0 + s, pos0 : pos0 + s] = stamp
+        field += scipy.ndimage.shift(padded, d + r, order=1)
+
+    preds = np.stack([stamp, stamp])
+    shifts = np.asarray(
+        position_optimization_batch(
+            jnp.asarray(field), jnp.asarray(preds), jnp.asarray(dets)
+        )
+    )
+    np.testing.assert_allclose(shifts, resid, atol=0.1)
+
+
+def test_position_optimization_respects_bounds():
+    f, s = 41, 15
+    stamp = _gauss(s, 7.0, 7.0, sigma=2.0)
+    field = np.zeros((f, f), np.float32)  # empty field: arbitrary pull
+    shifts = np.asarray(
+        position_optimization_batch(
+            jnp.asarray(field),
+            jnp.asarray(stamp[None]),
+            jnp.asarray([[0.0, 0.0]], np.float32),
+            bound=3.0,
+        )
+    )
+    assert (np.abs(shifts) <= 3.0 + 1e-6).all()

@@ -1,0 +1,112 @@
+"""Weight-importer tests: the bundled DC2 checkpoint index is the golden
+architecture contract — every mapped name must exist with exactly the shape
+our modules allocate; export->import must round-trip."""
+
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from debvader_tpu.config import ModelConfig
+from debvader_tpu.models.vae import DeblenderVAE, init_vae
+from debvader_tpu.utils.tf_checkpoint import load_available_tensors, read_index
+from debvader_tpu.utils.weight_import import (
+    export_to_tensors,
+    import_from_tensors,
+    keras_name_map,
+)
+
+CKPT = Path(
+    "/root/reference/src/debvader/data/weights/dc2/weights_noisy_v4.386--6.61.ckpt"
+)
+
+
+@pytest.fixture(scope="module")
+def index():
+    return read_index(str(CKPT) + ".index")
+
+
+@pytest.fixture(scope="module")
+def variables():
+    return init_vae(DeblenderVAE(ModelConfig()), jax.random.PRNGKey(0))
+
+
+def test_index_parses_all_keys(index):
+    assert len(index) == 194  # full bundle incl. optimizer slots
+    model_keys = [
+        k
+        for k in index
+        if "VARIABLE_VALUE" in k
+        and ".OPTIMIZER_SLOT" not in k
+        and not k.startswith("optimizer")
+    ]
+    assert len(model_keys) == 64  # 31 encoder + 33 decoder tensors
+
+
+def test_name_map_covers_checkpoint_exactly(index):
+    """Bijection between our mapped names and the reference's model
+    tensors."""
+    name_map = keras_name_map()
+    ckpt_model_keys = {
+        k
+        for k in index
+        if "VARIABLE_VALUE" in k
+        and ".OPTIMIZER_SLOT" not in k
+        and not k.startswith("optimizer")
+    }
+    assert set(name_map) == ckpt_model_keys
+
+
+def test_mapped_shapes_match_our_modules(index, variables):
+    """Golden shape test: ckpt index shape == our allocated param shape for
+    all 64 tensors (SURVEY.md §7 step 2 contract)."""
+    from debvader_tpu.utils.weight_import import _get_path
+
+    name_map = keras_name_map()
+    for tf_key, path in name_map.items():
+        want = tuple(index[tf_key].shape)
+        got = tuple(np.shape(_get_path(variables[path[0]], path[1:])))
+        assert got == want, f"{tf_key}: ours {got} != ckpt {want}"
+
+
+def test_total_parameter_count_from_index(index):
+    n = sum(
+        int(np.prod(e.shape))
+        for k, e in index.items()
+        if "VARIABLE_VALUE" in k
+        and ".OPTIMIZER_SLOT" not in k
+        and not k.startswith("optimizer")
+    )
+    assert n == 8_318_452
+
+
+def test_export_import_roundtrip(variables):
+    tensors = export_to_tensors(variables)
+    assert len(tensors) == 64
+    back = import_from_tensors(tensors)
+    flat_a = jax.tree_util.tree_leaves_with_path(variables["params"])
+    for path, leaf in flat_a:
+        node = back["params"]
+        for p in path:
+            node = node[p.key]
+        np.testing.assert_array_equal(np.asarray(leaf), node)
+
+
+def test_partial_snapshot_loads_shard0_only():
+    # the snapshot strips shard 1; loader must skip gracefully
+    tensors = load_available_tensors(CKPT)
+    assert isinstance(tensors, dict)  # whatever shard-0 holds (may be empty)
+    with pytest.raises(KeyError):
+        import_from_tensors(tensors, strict=True)
+
+
+def test_import_applies_values(variables):
+    tensors = export_to_tensors(variables)
+    tensors = {k: v + 1.0 for k, v in tensors.items()}
+    back = import_from_tensors(tensors)
+    k = "layer_with_weights-0/layer_with_weights-1/kernel/.ATTRIBUTES/VARIABLE_VALUE"
+    np.testing.assert_allclose(
+        back["params"]["encoder"]["Conv_0"]["kernel"],
+        np.asarray(variables["params"]["encoder"]["Conv_0"]["kernel"]) + 1.0,
+    )
