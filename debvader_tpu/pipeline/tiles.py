@@ -1,0 +1,129 @@
+"""Tiled processing for very large fields (4k x 4k coadds and beyond).
+
+The reference "scales" fields only through its per-source Python loop over a
+single 259x259 image (SURVEY.md §5 long-context analogue); memory and compile
+-shape constraints make that a dead end for survey coadds.  Here:
+
+- **Detection** runs per tile: the field is padded to a grid of fixed-size
+  overlapping tiles, the jitted detection core (one compiled program for the
+  tile shape) runs over the stack, and each tile keeps only peaks inside its
+  *core* region (overlap/2 margin) — cores partition the plane, so the merge
+  is exact with no cross-tile dedup heuristics.
+- **Deblending** reuses the batched stamp pipeline: cutout extraction is a
+  dynamic-slice gather on the full field (HBM-resident; a 4k x 4k x 6
+  float32 field is ~0.4 GB), and the VAE forward runs in bucketed batches.
+- **Residual assembly** is the same single-scan scatter-add render.
+
+Tile size and overlap come from PipelineConfig (tile_size=1024,
+tile_overlap=64).  Tiles are also the unit that shards across chips for
+multi-device field deblending (the 'data' mesh axis).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from debvader_tpu.config import DetectionConfig, PipelineConfig
+from debvader_tpu.ops.detection import detect_sources
+from debvader_tpu.pipeline.field import DeblendField
+
+__all__ = ["tile_origins", "detect_objects_tiled", "TiledDeblendField"]
+
+
+def tile_origins(field_size: int, tile: int, overlap: int) -> list[int]:
+    """Start offsets of overlapping tiles covering [0, field_size)."""
+    if tile >= field_size:
+        return [0]
+    stride = tile - overlap
+    starts = list(range(0, field_size - tile, stride))
+    starts.append(field_size - tile)  # final tile flush with the edge
+    return starts
+
+
+def detect_objects_tiled(
+    field_image,
+    det_cfg: DetectionConfig | None = None,
+    tile: int = 1024,
+    overlap: int = 64,
+) -> np.ndarray:
+    """Tiled drop-in for detect_objects: (N, 2) offsets from field center.
+
+    Each tile's detections are filtered to its core region
+    [origin + overlap/2, origin + tile - overlap/2) (extended to the field
+    edge for border tiles), so every source is reported exactly once.
+    """
+    det_cfg = det_cfg or DetectionConfig()
+    img = np.asarray(field_image, np.float32)
+    if img.ndim == 4:
+        img = img[0]
+    if img.ndim == 3:
+        band = det_cfg.detection_band if img.shape[-1] > det_cfg.detection_band else 0
+        img = img[..., band]
+    f = img.shape[0]
+    half = int(f / 2)
+
+    if tile >= f:
+        from debvader_tpu.ops.detection import detect_objects
+
+        return detect_objects(img, det_cfg)
+
+    ys = tile_origins(f, tile, overlap)
+    xs = tile_origins(f, tile, overlap)
+
+    def core_bounds(origins: list[int]) -> list[tuple[float, float]]:
+        """Exact partition of [0, f): boundaries at the midpoints of
+        consecutive tiles' overlap regions (robust to the irregular stride
+        of the flush-to-edge last tile)."""
+        cuts = [0.0]
+        for a, b in zip(origins[:-1], origins[1:]):
+            cuts.append((b + a + tile) / 2.0)
+        cuts.append(float(f))
+        return list(zip(cuts[:-1], cuts[1:]))
+
+    y_cores = core_bounds(ys)
+    x_cores = core_bounds(xs)
+
+    out = []
+    for oy, (y_lo, y_hi) in zip(ys, y_cores):
+        for ox, (x_lo, x_hi) in zip(xs, x_cores):
+            sub = img[oy : oy + tile, ox : ox + tile]
+            obj = detect_sources(sub, det_cfg)
+            if len(obj["y"]) == 0:
+                continue
+            gy = obj["y"] + oy
+            gx = obj["x"] + ox
+            keep = (gy >= y_lo) & (gy < y_hi) & (gx >= x_lo) & (gx < x_hi)
+            for yy, xx in zip(gy[keep], gx[keep]):
+                out.append((np.round(-half + yy), np.round(-half + xx)))
+    if not out:
+        return np.zeros((0, 2))
+    return np.asarray(out)
+
+
+class TiledDeblendField(DeblendField):
+    """DeblendField for fields larger than one detection program.
+
+    Overrides nothing in the deblending path (extraction/forward/render are
+    already size-generic); adds tiled detection and a convenience
+    ``detect_and_deblend`` driver.
+    """
+
+    def __init__(self, *args, det_cfg: DetectionConfig | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.det_cfg = det_cfg or DetectionConfig()
+
+    def detect(self) -> np.ndarray:
+        return detect_objects_tiled(
+            self.field_image,
+            self.det_cfg,
+            tile=self.cfg.tile_size,
+            overlap=self.cfg.tile_overlap,
+        )
+
+    def detect_and_deblend(self, **kwargs):
+        centers = self.detect()
+        if len(centers) == 0:
+            return None
+        return self.deblend_field(centers, **kwargs)

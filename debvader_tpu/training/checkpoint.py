@@ -103,6 +103,48 @@ def _candidate_ckpts(survey_dir: Path):
     return sorted(found, key=lambda p: p.stat().st_mtime, reverse=True)
 
 
+def save_train_state(path: str | os.PathLike, state) -> None:
+    """Full restartability (SURVEY.md §5 'failure detection' build item):
+    params + BN stats + optimizer moments + step + rng, so an interrupted
+    run resumes bit-exact (the reference only ever saves weights)."""
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "rng": state.rng,
+    }
+    path = Path(path).resolve()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, _to_save(payload), force=True)
+
+
+def restore_train_state(path: str | os.PathLike, state):
+    """Restore into an existing TrainState template (same model/optimizer)."""
+    template = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "rng": state.rng,
+    }
+    path = Path(path).resolve()
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path, _to_save(template))
+    return state.replace(
+        params=jax.tree_util.tree_map(jax.numpy.asarray, restored["params"]),
+        batch_stats=jax.tree_util.tree_map(
+            jax.numpy.asarray, restored["batch_stats"]
+        ),
+        opt_state=jax.tree_util.tree_map(
+            lambda x: jax.numpy.asarray(x) if hasattr(x, "shape") else x,
+            restored["opt_state"],
+        ),
+        step=jax.numpy.asarray(restored["step"]),
+        rng=jax.numpy.asarray(restored["rng"]),
+    )
+
+
 def load_weights(survey: str, weights_dir=None) -> Any:
     """Restore the latest variables pytree for a survey."""
     survey_dir = Path(weights_dir or default_weights_dir()) / survey

@@ -63,24 +63,33 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def decoder_freeze_labels(params) -> Any:
-    """'frozen' for every decoder param, 'trainable' elsewhere
-    (reference freezes the decoder for stage 2, training/train.py:175)."""
+def freeze_labels(params, frozen_module: str) -> Any:
+    """'frozen' for every param under ``frozen_module``, 'trainable'
+    elsewhere."""
     return jax.tree_util.tree_map_with_path(
         lambda path, _: "frozen"
-        if any(getattr(p, "key", None) == "decoder" for p in path)
+        if any(getattr(p, "key", None) == frozen_module for p in path)
         else "trainable",
         params,
     )
 
 
-def _make_optimizer(train_cfg: TrainConfig, freeze_decoder: bool, params=None):
+def decoder_freeze_labels(params) -> Any:
+    """'frozen' for every decoder param, 'trainable' elsewhere
+    (reference freezes the decoder for stage 2, training/train.py:175)."""
+    return freeze_labels(params, "decoder")
+
+
+def _make_optimizer(train_cfg: TrainConfig, freeze: str | None, params=None):
+    """freeze: None, 'decoder' (reference stage 2), or 'encoder'
+    (frozen-encoder latent reuse for band-count transfer, BASELINE.json
+    config 5)."""
     adam = optax.adam(train_cfg.learning_rate)
-    if not freeze_decoder:
+    if freeze is None:
         return adam
     return optax.multi_transform(
         {"trainable": adam, "frozen": optax.set_to_zero()},
-        decoder_freeze_labels(params),
+        freeze_labels(params, freeze),
     )
 
 
@@ -89,6 +98,7 @@ def create_train_state(
     train_cfg: TrainConfig | None = None,
     rng: jax.Array | None = None,
     freeze_decoder: bool = False,
+    freeze: str | None = None,
     variables: Any | None = None,
 ) -> TrainState:
     train_cfg = train_cfg or TrainConfig()
@@ -96,7 +106,9 @@ def create_train_state(
     init_rng, state_rng = jax.random.split(rng)
     if variables is None:
         variables = init_vae(model, init_rng)
-    tx = _make_optimizer(train_cfg, freeze_decoder, variables["params"])
+    if freeze_decoder and freeze is None:
+        freeze = "decoder"
+    tx = _make_optimizer(train_cfg, freeze, variables["params"])
     return TrainState(
         params=variables["params"],
         batch_stats=variables.get("batch_stats", {}),

@@ -1,0 +1,91 @@
+"""Ahead-of-time export of the deblender forward pass.
+
+The reference exports to ONNX via tf2onnx for deployment
+(notebooks/deblender_to_onnx.ipynb, SURVEY.md §2 row 18), swapping the TFP
+heads for hand-rolled samplers so the graph serializes.  The TPU-native
+equivalent is ``jax.export``: the jitted forward — including the MVN-TriL
+sampling and the Normal head, no swaps needed — serializes to a portable
+StableHLO artifact that reloads and runs without the framework or the model
+code, on any machine with jax.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from debvader_tpu.models.vae import DeblenderVAE
+
+__all__ = ["export_deblender", "load_exported", "roundtrip_check"]
+
+
+def _forward_fn(model: DeblenderVAE, z_mode: str):
+    def fn(variables, images, rng):
+        dist, _ = model.apply(variables, images, rng=rng, z_mode=z_mode)
+        return dist.loc, dist.scale
+
+    return fn
+
+
+def export_deblender(
+    model: DeblenderVAE,
+    variables: Any,
+    batch_size: int = 32,
+    z_mode: str = "sample",
+    path: str | Path | None = None,
+) -> bytes:
+    """Serialize the full forward (params baked in) to StableHLO bytes.
+
+    The exported callable takes (images, rng_key_data) and returns
+    (mean, stddev) like the reference's ONNX session returns the sampler
+    outputs (deblender_to_onnx.ipynb cells 15-16).
+    """
+    cfg = model.cfg
+    fwd = _forward_fn(model, z_mode)
+
+    def wrapped(images, key_data):
+        rng = jax.random.wrap_key_data(key_data)
+        return fwd(variables, images, rng)
+
+    images_spec = jax.ShapeDtypeStruct(
+        (batch_size, cfg.stamp_size, cfg.stamp_size, cfg.nb_of_bands), jnp.float32
+    )
+    key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    exported = jax_export.export(jax.jit(wrapped))(images_spec, key_spec)
+    blob = bytes(exported.serialize())
+    if path is not None:
+        Path(path).write_bytes(blob)
+    return blob
+
+
+def load_exported(blob: bytes | str | Path):
+    """Deserialize an exported deblender; returns a callable
+    (images, key_data) -> (mean, stddev)."""
+    if not isinstance(blob, (bytes, bytearray)):
+        blob = Path(blob).read_bytes()
+    exported = jax_export.deserialize(bytearray(blob))
+    return exported.call
+
+
+def roundtrip_check(
+    model: DeblenderVAE, variables: Any, images, rtol: float = 1e-5
+) -> bool:
+    """Export -> reload -> compare against the live model (the parity check
+    the reference does against onnxruntime)."""
+    images = jnp.asarray(images, jnp.float32)
+    blob = export_deblender(model, variables, batch_size=images.shape[0])
+    call = load_exported(blob)
+    key = jax.random.PRNGKey(42)
+    key_data = jax.random.key_data(key)
+    got_mean, got_std = call(images, key_data)
+    want_mean, want_std = _forward_fn(model, "sample")(
+        variables, images, jax.random.wrap_key_data(key_data)
+    )
+    ok_mean = np.allclose(np.asarray(got_mean), np.asarray(want_mean), rtol=rtol, atol=1e-5)
+    ok_std = np.allclose(np.asarray(got_std), np.asarray(want_std), rtol=rtol, atol=1e-5)
+    return bool(ok_mean and ok_std)

@@ -1,0 +1,93 @@
+"""Tests for encoder freezing (band-transfer config), full train-state
+resume, the profiling utilities, and the metrics log."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from debvader_tpu.config import ModelConfig, TrainConfig
+from debvader_tpu.models.vae import DeblenderVAE
+from debvader_tpu.training import checkpoint as ckpt
+from debvader_tpu.training.train import create_train_state, make_train_step
+from debvader_tpu.utils.profiling import MetricsLog, stage_timer
+
+TINY = ModelConfig(stamp_size=23, nb_of_bands=3, latent_dim=4, filters=(4, 8), kernels=(3, 3))
+
+
+def _toy(n=8, seed=0):
+    rng = np.random.default_rng(seed)
+    y = rng.normal(size=(n, 23, 23, 3)).astype(np.float32)
+    return y + 0.1 * rng.normal(size=y.shape).astype(np.float32), y
+
+
+def test_freeze_encoder_for_latent_reuse():
+    # BASELINE.json config 5: frozen-encoder transfer
+    model = DeblenderVAE(TINY)
+    cfg = TrainConfig(learning_rate=1e-3)
+    state = create_train_state(model, cfg, freeze="encoder")
+    enc_before = jax.tree_util.tree_map(np.asarray, state.params["encoder"])
+    dec_before = jax.tree_util.tree_map(np.asarray, state.params["decoder"])
+    step = make_train_step(model, cfg)
+    x, y = _toy()
+    for _ in range(3):
+        state, _ = step(state, jnp.asarray(x), jnp.asarray(y))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(enc_before),
+        jax.tree_util.tree_leaves(state.params["encoder"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(dec_before),
+            jax.tree_util.tree_leaves(state.params["decoder"]),
+        )
+    )
+
+
+def test_train_state_resume_bit_exact(tmp_path):
+    model = DeblenderVAE(TINY)
+    cfg = TrainConfig(learning_rate=1e-3, seed=5)
+    x, y = _toy()
+    step = make_train_step(model, cfg)
+
+    # run 4 steps straight through
+    s_full = create_train_state(model, cfg)
+    for _ in range(4):
+        s_full, _ = step(s_full, jnp.asarray(x), jnp.asarray(y))
+
+    # run 2 steps, checkpoint, restore into a fresh state, run 2 more
+    s_a = create_train_state(model, cfg)
+    for _ in range(2):
+        s_a, _ = step(s_a, jnp.asarray(x), jnp.asarray(y))
+    ckpt.save_train_state(tmp_path / "state", s_a)
+
+    s_b = create_train_state(model, cfg)  # fresh (different rng path)
+    s_b = ckpt.restore_train_state(tmp_path / "state", s_b)
+    assert int(s_b.step) == 2
+    for _ in range(2):
+        s_b, _ = step(s_b, jnp.asarray(x), jnp.asarray(y))
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_full.params), jax.tree_util.tree_leaves(s_b.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stage_timer_accumulates():
+    times = {}
+    with stage_timer(times, "a"):
+        x = jnp.ones((64, 64)) @ jnp.ones((64, 64))
+    with stage_timer(times, "a", sync=x):
+        pass
+    assert times["a"] > 0
+
+
+def test_metrics_log(tmp_path):
+    log = MetricsLog(tmp_path / "m.jsonl")
+    log.log(0, loss=1.5, mse=0.2)
+    log.log(1, loss=1.2, mse=0.1)
+    assert log.series("loss") == [1.5, 1.2]
+    assert log.last()["step"] == 1
+    lines = (tmp_path / "m.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 2
