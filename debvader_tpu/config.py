@@ -89,6 +89,9 @@ class DetectionConfig:
     #                 'conv', which compares the unnormalized convolution
     #                 against the unfiltered-noise threshold)
     threshold_scaling: str = "matched"
+    # Use the fused Pallas matched-filter kernel instead of the XLA conv
+    # chain (kernels/matched_filter.py; measured at parity on v5e).
+    use_pallas_filter: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

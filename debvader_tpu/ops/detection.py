@@ -168,8 +168,8 @@ def _detect_core(image: jax.Array, cfg: DetectionConfig):
     )
     fore = image - back
 
-    kernel = jnp.asarray(default_filter_kernel(cfg.filter_size, cfg.filter_fwhm))
-    filt = _conv2d_same(fore, kernel)
+    kernel_np = default_filter_kernel(cfg.filter_size, cfg.filter_fwhm)
+    kernel = jnp.asarray(kernel_np)
     if cfg.threshold_scaling == "matched":
         scale = jnp.sqrt(jnp.sum(jnp.square(kernel)))
     elif cfg.threshold_scaling == "sep_conv":
@@ -177,7 +177,16 @@ def _detect_core(image: jax.Array, cfg: DetectionConfig):
     else:
         raise ValueError(f"unknown threshold_scaling {cfg.threshold_scaling!r}")
     threshold = cfg.thresh * globalrms * scale
-    mask = filt > threshold
+    if cfg.use_pallas_filter and cfg.filter_size == 7:
+        from debvader_tpu.kernels.matched_filter import matched_filter_threshold
+
+        filt, maskf = matched_filter_threshold(
+            image, back, kernel_np, threshold, interpret=jax.default_backend() != "tpu"
+        )
+        mask = maskf > 0
+    else:
+        filt = _conv2d_same(fore, kernel)
+        mask = filt > threshold
 
     # --- steepest-ascent parents over the 3x3 neighborhood ---------------
     flat_idx = (
