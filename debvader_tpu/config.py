@@ -106,5 +106,9 @@ class PipelineConfig:
     epistemic_criterion: float = 100.0  # field_deblender.py:224
     mse_criterion: float = 100.0  # field_deblender.py:225
     gn_iterations: int = 20  # Gauss-Newton steps for position optimization
+    # Interpolation order for residual/predicted field assembly: 3 matches
+    # the reference's scipy.ndimage.shift default (ops/spline.py); 1 =
+    # bilinear, cheaper.  Registration uses bilinear either way.
+    interp_order: int = 3
     tile_size: int = 1024  # tile edge for very large fields
     tile_overlap: int = 64

@@ -237,7 +237,10 @@ class DeblendField:
             means = self._stacked(res_deblend, "output_images_mean")
             offs = self._offsets(res_deblend)
             rendered = np.asarray(
-                render_field(jnp.asarray(means), jnp.asarray(offs), self.field_size)
+                render_field(
+                    jnp.asarray(means), jnp.asarray(offs), self.field_size,
+                    order=self.cfg.interp_order,
+                )
             )
             deblended_image[0] -= rendered
         return deblended_image
@@ -266,7 +269,11 @@ class DeblendField:
                 ):
                     continue
                 stamps = jnp.asarray(self._stacked(res_deblend, col))
-                out[key] = np.asarray(render_field(stamps, offs, self.field_size))
+                out[key] = np.asarray(
+                    render_field(
+                        stamps, offs, self.field_size, order=self.cfg.interp_order
+                    )
+                )
         return out
 
     def get_deblending_meta_data(self, res_deblend=None):
