@@ -38,6 +38,10 @@ class ModelConfig:
     # bfloat16 here feeds the MXU at double rate.  Defaults to float32 so the
     # zero-config path is reference-faithful.
     dtype: str = "float32"
+    # The reference casts to float32 before the decoder's big Dense
+    # (model/model.py:117).  Keep True for weight-parity; False runs that
+    # Dense in the compute dtype (faster in bfloat16 mode).
+    strict_cast: bool = True
 
     @property
     def input_shape(self) -> tuple[int, int, int]:

@@ -75,6 +75,19 @@ def _fill_triangular_perm(n: int) -> np.ndarray:
     return mat[rows, cols]  # shape (m,): source index in x for each tril slot
 
 
+def _fill_triangular_gather(n: int) -> np.ndarray:
+    """Flat gather indices (n*n,) into x extended with one trailing zero:
+    position (i, j) reads x[perm] on the lower triangle and the zero slot
+    above it.  A single static gather is much cheaper on TPU than the
+    scatter formulation (no scatter unit; XLA serializes scatters)."""
+    m = tril_size(n)
+    perm = _fill_triangular_perm(n)
+    idx = np.full((n, n), m, dtype=np.int32)  # m = index of appended zero
+    rows, cols = np.tril_indices(n)
+    idx[rows, cols] = perm
+    return idx.reshape(-1)
+
+
 def fill_triangular(x: jax.Array, n: int | None = None) -> jax.Array:
     """Pack a (..., n(n+1)/2) vector into a (..., n, n) lower-tri matrix.
 
@@ -86,10 +99,9 @@ def fill_triangular(x: jax.Array, n: int | None = None) -> jax.Array:
         n = int((math.isqrt(8 * m + 1) - 1) // 2)
     if tril_size(n) != m:
         raise ValueError(f"last dim {m} is not a triangular number for n={n}")
-    perm = _fill_triangular_perm(n)
-    rows, cols = np.tril_indices(n)
-    out = jnp.zeros(x.shape[:-1] + (n, n), dtype=x.dtype)
-    return out.at[..., rows, cols].set(x[..., perm])
+    gather = jnp.asarray(_fill_triangular_gather(n))
+    x_ext = jnp.concatenate([x, jnp.zeros(x.shape[:-1] + (1,), x.dtype)], axis=-1)
+    return x_ext[..., gather].reshape(x.shape[:-1] + (n, n))
 
 
 def fill_triangular_inverse(mat: jax.Array) -> jax.Array:

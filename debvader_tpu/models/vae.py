@@ -87,10 +87,12 @@ class Decoder(nn.Module):
         h = PReLU()(z.astype(dtype))
         h = nn.Dense(mvn_params_size(cfg.latent_dim), dtype=dtype, param_dtype=jnp.float32)(h)
         h = PReLU()(h)
-        # Reference casts to float32 before this Dense (model/model.py:117).
+        # Reference casts to float32 before this Dense (model/model.py:117);
+        # strict_cast=False keeps it in the compute dtype instead.
+        dense2_dtype = jnp.float32 if cfg.strict_cast else dtype
         h = nn.Dense(
-            w * w * cfg.filters[-1], dtype=jnp.float32, param_dtype=jnp.float32
-        )(h.astype(jnp.float32))
+            w * w * cfg.filters[-1], dtype=dense2_dtype, param_dtype=jnp.float32
+        )(h.astype(dense2_dtype))
         h = PReLU()(h)
         h = h.reshape(h.shape[0], w, w, cfg.filters[-1]).astype(dtype)
         for i in range(len(cfg.filters) - 1, -1, -1):

@@ -222,18 +222,36 @@ def train_network(
     eval_step = make_eval_step(model, train_cfg)
     shuffle_rng = np.random.default_rng(train_cfg.seed)
 
-    x_tr, y_tr = training_data
+    # ``training_data`` may be an (inputs, labels) array pair like the
+    # reference, or any loader with next_batch()/__len__ — e.g. the native
+    # C++ prefetching loader (runtime/loader.py) for on-disk archives.
+    use_loader = hasattr(training_data, "next_batch")
+    if not use_loader:
+        x_tr, y_tr = training_data
     x_va, y_va = validation_data
     history: dict[str, list[float]] = {}
 
     for epoch in range(epochs):
         epoch_metrics: dict[str, list[float]] = {}
-        for idx in _batches(len(x_tr), batch_size, shuffle_rng if train_cfg.shuffle else None):
-            state, terms = train_step(
-                state, jnp.asarray(x_tr[idx], jnp.float32), jnp.asarray(y_tr[idx], jnp.float32)
-            )
-            for k, v in terms.items():
-                epoch_metrics.setdefault(k, []).append(float(v))
+        if use_loader:
+            for _ in range(len(training_data)):
+                bx, by = training_data.next_batch()
+                state, terms = train_step(
+                    state, jnp.asarray(bx, jnp.float32), jnp.asarray(by, jnp.float32)
+                )
+                for k, v in terms.items():
+                    epoch_metrics.setdefault(k, []).append(float(v))
+        else:
+            for idx in _batches(
+                len(x_tr), batch_size, shuffle_rng if train_cfg.shuffle else None
+            ):
+                state, terms = train_step(
+                    state,
+                    jnp.asarray(x_tr[idx], jnp.float32),
+                    jnp.asarray(y_tr[idx], jnp.float32),
+                )
+                for k, v in terms.items():
+                    epoch_metrics.setdefault(k, []).append(float(v))
 
         val_metrics: dict[str, list[float]] = {}
         val_rng = jax.random.fold_in(jax.random.PRNGKey(train_cfg.seed), epoch)

@@ -95,3 +95,25 @@ def test_make_loader_dispatch(npy_pair):
     bx, _ = ld2.next_batch()
     assert bx.shape == (8, 9, 9, 2)
     ld2.close()
+
+
+@needs_native
+def test_train_network_with_native_loader(npy_pair):
+    """train_network accepts the prefetching loader in place of arrays."""
+    import jax
+
+    from debvader_tpu.config import ModelConfig, TrainConfig
+    from debvader_tpu.models.vae import DeblenderVAE
+    from debvader_tpu.training.train import create_train_state, train_network
+
+    xp, yp, x, y = npy_pair
+    cfg = ModelConfig(stamp_size=9, nb_of_bands=2, latent_dim=2, filters=(2,), kernels=(3,))
+    model = DeblenderVAE(cfg)
+    tcfg = TrainConfig(batch_size=16)
+    state = create_train_state(model, tcfg)
+    loader = NativeNpyLoader(xp, yp, 16, shuffle=True, seed=0)
+    state, hist = train_network(
+        model, state, 1, loader, (x[:16], y[:16]), 16, verbose=0, train_cfg=tcfg
+    )
+    assert np.isfinite(hist["loss"][0])
+    loader.close()
