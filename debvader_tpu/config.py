@@ -96,6 +96,11 @@ class DetectionConfig:
     # Use the fused Pallas matched-filter kernel instead of the XLA conv
     # chain (kernels/matched_filter.py; measured at parity on v5e).
     use_pallas_filter: bool = False
+    # SExtractor-style CLEAN pass: drop detections whose filtered peak is
+    # explained by a brighter neighbor's PSF wings (sep.extract defaults to
+    # clean=True, clean_param=1.0, which the reference inherits).
+    clean: bool = True
+    clean_param: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

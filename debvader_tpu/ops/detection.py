@@ -249,15 +249,43 @@ def detect_sources(image_2d, cfg: DetectionConfig | None = None):
     peak_flat = np.flatnonzero(np.asarray(is_peak).ravel())
     keep = peak_flat[area[peak_flat] >= cfg.minarea]
     fl = np.maximum(flux[keep], 1e-30)
+    ys = ysum[keep] / fl
+    xs = xsum[keep] / fl
+    peak_val = filt_np.ravel()[keep]
+
+    if cfg.clean and len(keep) > 1:
+        keep_mask = _clean_pass(ys, xs, peak_val, cfg)
+        keep = keep[keep_mask]
+        ys, xs = ys[keep_mask], xs[keep_mask]
+
+    fl = np.maximum(flux[keep], 1e-30)
     return {
-        "y": ysum[keep] / fl,
-        "x": xsum[keep] / fl,
+        "y": ys,
+        "x": xs,
         "area": area[keep],
         "flux": flux[keep],
         "peak_yx": np.stack([keep // f, keep % f], -1) if len(keep) else np.zeros((0, 2), int),
         "labels": labels_np,
         "globalrms": float(globalrms),
     }
+
+
+def _clean_pass(ys, xs, peaks, cfg: DetectionConfig) -> np.ndarray:
+    """SExtractor-style CLEAN (sep clean=True, clean_param=1.0 — the
+    reference's effective defaults): a detection is spurious if the summed
+    PSF-wing contribution of brighter detections at its position exceeds
+    its own peak times clean_param.  We model wings with the matched
+    filter's Gaussian (FWHM from cfg), which is the same PSF model the
+    reference's kernel encodes."""
+    sigma = cfg.filter_fwhm / 2.3548200450309493
+    # filtering a PSF with itself widens it: sqrt(2) sigma
+    s2 = 2.0 * (np.sqrt(2.0) * sigma) ** 2
+    n = len(ys)
+    d2 = (ys[:, None] - ys[None, :]) ** 2 + (xs[:, None] - xs[None, :]) ** 2
+    wings = peaks[None, :] * np.exp(-d2 / s2)
+    brighter = peaks[None, :] > peaks[:, None]
+    contrib = np.where(brighter & ~np.eye(n, dtype=bool), wings, 0.0).sum(axis=1)
+    return peaks > cfg.clean_param * contrib
 
 
 def detect_objects(field_image, cfg: DetectionConfig | None = None) -> np.ndarray:

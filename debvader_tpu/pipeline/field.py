@@ -47,11 +47,16 @@ class DeblendField:
         normalise: bool = False,
         cfg: PipelineConfig | None = None,
         rng: jax.Array | None = None,
+        mesh=None,
     ):
         """net: (model, variables); field_image: (1, F, F, B) array.
 
-        Signature mirrors field_deblender.py:13-44; ``cfg`` and ``rng`` are
-        additive (defaults reproduce reference behavior).
+        Signature mirrors field_deblender.py:13-44; ``cfg``, ``rng`` and
+        ``mesh`` are additive (defaults reproduce reference behavior).
+        ``mesh``: a jax.sharding.Mesh for batch-sharded inference fan-out —
+        the stamp batch splits over the 'data' axis so field-scale
+        deblending scales across a slice (SURVEY.md §5 distributed-backend
+        build item).
         """
         self.net = net
         self.field_image = np.array(field_image, dtype=np.float32)
@@ -64,6 +69,11 @@ class DeblendField:
             cutout_size=cutout_size, nb_of_bands=nb_of_bands
         )
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.mesh = mesh
+        if mesh is not None:
+            from debvader_tpu.parallel.sharded import make_sharded_apply
+
+            self._sharded_apply = make_sharded_apply(net[0], mesh)
         self.nb_of_detected_objects: list[int] = []
         self.nb_of_deblended_galaxies: list[int] = []
         self.res_deblend = None
@@ -141,9 +151,12 @@ class DeblendField:
             return empty
 
         # One batched VAE forward for all sources (hot path).
-        means, dist = deblend(
-            self.net, cutouts, normalise=self.normalise, rng=self._next_rng()
-        )
+        if self.mesh is not None:
+            means, dist = self._deblend_sharded(cutouts)
+        else:
+            means, dist = deblend(
+                self.net, cutouts, normalise=self.normalise, rng=self._next_rng()
+            )
         stddevs = np.asarray(dist.stddev())
 
         # r band where available (reference hardcodes channel 2,
@@ -212,6 +225,33 @@ class DeblendField:
         }
         self.res_deblend = pd.DataFrame(res).to_records(index=False)
         return self.res_deblend
+
+    def _deblend_sharded(self, cutouts):
+        """Batch-sharded forward over the mesh's 'data' axis (pads the
+        batch to a multiple of the axis size, unpads after)."""
+        from debvader_tpu.ops.normalize import (
+            denormalize_distribution,
+            normalize_non_linear,
+        )
+        from debvader_tpu.parallel.sharded import shard_batch
+
+        n = cutouts.shape[0]
+        dp = self.mesh.shape["data"]
+        pad = (-n) % dp
+        x = jnp.asarray(cutouts, jnp.float32)
+        if self.normalise:
+            x = normalize_non_linear(x)
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        dist = self._sharded_apply(
+            self.net[1], shard_batch(x, self.mesh), self._next_rng()
+        )
+        if self.normalise:
+            dist = denormalize_distribution(dist)
+        from debvader_tpu.models.distributions import PixelNormal
+
+        dist = PixelNormal(dist.loc[:n], dist.scale[:n])
+        return np.asarray(dist.mean()), dist
 
     # ------------------------------------------------------------ rendering
     def _stacked(self, res_deblend, key):

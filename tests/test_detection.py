@@ -163,3 +163,35 @@ def test_dc2_field_detection_sanity(idx):
     tr = (np.asarray(truth, np.float64) - center)[:, [1, 0]]
     d = np.linalg.norm(tr[:, None, :2] - det[None, :, :2], axis=-1).min(1)
     assert np.median(d) < 1.5
+
+
+def test_clean_pass_unit():
+    """CLEAN (sep clean=True equivalent).  NOTE: in the full pipeline the
+    steepest-ascent watershed already absorbs wing-riding bumps into the
+    bright source's basin (they never become separate peaks), so CLEAN
+    rarely fires — it remains as the guard for close same-basin splits."""
+    from debvader_tpu.ops.detection import _clean_pass
+
+    cfg = DetectionConfig()
+    ys = np.array([50.0, 51.5, 100.0])
+    xs = np.array([50.0, 50.0, 100.0])
+    peaks = np.array([100.0, 10.0, 5.0])
+    # at 1.5 px, wings of the bright peak at the faint one:
+    # 100*exp(-2.25/6.45) ~ 70 >> 10 -> cleaned; isolated one survives
+    keep = _clean_pass(ys, xs, peaks, cfg)
+    np.testing.assert_array_equal(keep, [True, False, True])
+    # far apart: everything survives
+    keep = _clean_pass(
+        np.array([10.0, 60.0]), np.array([10.0, 60.0]), np.array([100.0, 1.0]), cfg
+    )
+    np.testing.assert_array_equal(keep, [True, True])
+
+
+def test_clean_preserves_dc2_truth_matches():
+    field = np.load(
+        "/root/reference/src/debvader/data/dc2_imgs/field/field_img_2.npy"
+    )
+    a = detect_objects(field, DetectionConfig(clean=False))
+    b = detect_objects(field, DetectionConfig(clean=True))
+    assert len(b) <= len(a)
+    assert len(b) > 0.9 * len(a)  # CLEAN is a light touch here

@@ -194,3 +194,21 @@ def test_dc2_field_end_to_end_slice():
     resid = df.get_residual_field()
     assert resid.shape == field.shape
     assert np.isfinite(resid).all()
+
+
+def test_deblend_field_mesh_sharded(tiny_net):
+    """Mesh-sharded inference fan-out over the 8-device CPU mesh matches
+    shapes/finite output of the single-device path."""
+    from debvader_tpu.parallel import make_mesh
+
+    field, centers = _tiny_field()
+    mesh = make_mesh()
+    df = DeblendField(
+        tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg(), mesh=mesh
+    )
+    res = df.deblend_field(centers)
+    assert len(res) == len(centers)
+    means = np.stack(list(res["output_images_mean"]))
+    assert means.shape == (3, 23, 23, 3) and np.isfinite(means).all()
+    resid = df.get_residual_field()
+    assert np.isfinite(resid).all()
