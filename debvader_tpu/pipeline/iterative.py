@@ -41,9 +41,20 @@ class IterativeDeblendField(DeblendField):
         optimise_positions: bool = False,
         epistemic_criterion: float = 100.0,
         mse_criterion: float = 100.0,
+        cumulative_residual: bool = False,
     ):
         """Detect-subtract-repeat until no new sources appear
-        (iterative_deblender.py:21-99)."""
+        (iterative_deblender.py:21-99).
+
+        ``cumulative_residual``: the reference computes each step's residual
+        by subtracting only the *latest* step's galaxies from the original
+        field (get_residual_field uses self.res_deblend, which deblend_field
+        overwrites per step — iterative_deblender.py:51,74 +
+        field_deblender.py:59-60,380), so earlier finds reappear in later
+        residuals.  False (default) preserves that behavior exactly; True
+        subtracts every galaxy found so far, which is what the procedure
+        scientifically intends.
+        """
         field_image = self.field_image.copy()
         res_step = self.deblending_step(
             field_image,
@@ -58,7 +69,12 @@ class IterativeDeblendField(DeblendField):
             print("converged !")
             return self.res_deblend
 
-        new_residual_field = self.get_residual_field()
+        def residual():
+            if cumulative_residual:
+                return self.get_residual_field(res_deblend=res_deblend)
+            return self.get_residual_field()
+
+        new_residual_field = residual()
         self.mse.append(_mse(self.field_image, new_residual_field))
         shifts_previous: list = []
         k = 1
@@ -77,13 +93,14 @@ class IterativeDeblendField(DeblendField):
                 mse_criterion=mse_criterion,
             )
 
-            new_residual_field = self.get_residual_field()
-            self.mse.append(_mse(prev_residual_field, new_residual_field))
-
             if res_step is None or res_step["list_idx"] is None:
+                new_residual_field = residual()
+                self.mse.append(_mse(prev_residual_field, new_residual_field))
                 break
 
             res_deblend = np.concatenate([res_deblend, res_step])
+            new_residual_field = residual()
+            self.mse.append(_mse(prev_residual_field, new_residual_field))
             k += 1
             print(
                 f"{sum(self.nb_of_deblended_galaxies)} galaxies found up to this step."

@@ -212,3 +212,19 @@ def test_deblend_field_mesh_sharded(tiny_net):
     assert means.shape == (3, 23, 23, 3) and np.isfinite(means).all()
     resid = df.get_residual_field()
     assert np.isfinite(resid).all()
+
+
+def test_iterative_cumulative_residual(tiny_net):
+    """cumulative_residual=True subtracts every galaxy found so far; the
+    final residual should therefore have less flux than the original field
+    around every detected source."""
+    field, centers = _tiny_field(n_src=4, seed=5)
+    idf = IterativeDeblendField(
+        tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg()
+    )
+    res = idf.iterative_deblending(
+        galaxy_distances_to_center=centers, cumulative_residual=True
+    )
+    assert res is not None and len(res) >= len(centers)
+    resid = idf.get_residual_field(res_deblend=res)
+    assert np.isfinite(resid).all()
