@@ -48,22 +48,21 @@ def _profile(stamp: int, cy, cx, flux, r50, e1, e2, bands_scale):
 
 
 def _psf_blur(img, sigma: float = 1.2, width: int = 7):
+    """Separable Gaussian PSF as a depthwise conv (img: (H, W, B))."""
     r = jnp.arange(width, dtype=jnp.float32) - width // 2
     g = jnp.exp(-(r**2) / (2 * sigma**2))
     g = g / g.sum()
-    img = jax.vmap(
-        lambda band: jnp.apply_along_axis(
-            lambda v: jnp.convolve(v, g, mode="same"), 0, band
-        ),
-        in_axes=-1, out_axes=-1,
-    )(img)
-    img = jax.vmap(
-        lambda band: jnp.apply_along_axis(
-            lambda v: jnp.convolve(v, g, mode="same"), 1, band
-        ),
-        in_axes=-1, out_axes=-1,
-    )(img)
-    return img
+    b = img.shape[-1]
+    x = img[None]  # (1, H, W, B)
+    ky = jnp.tile(g[:, None, None, None], (1, 1, 1, b))  # (w, 1, 1, B)
+    kx = jnp.tile(g[None, :, None, None], (1, 1, 1, b))
+    for k in (ky, kx):
+        x = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=b,
+        )
+    return x[0]
 
 
 @partial(jax.jit, static_argnames=("n", "stamp", "bands", "max_neighbors"))

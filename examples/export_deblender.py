@@ -1,0 +1,35 @@
+#!/usr/bin/env python
+"""AOT export, mirroring notebooks/deblender_to_onnx.ipynb: serialize the
+deblender forward to a StableHLO artifact, reload it without the model code,
+and check output parity against the live model.
+
+Run: python examples/export_deblender.py
+"""
+
+import numpy as np
+import jax
+
+import debvader_tpu as dt
+from debvader_tpu.utils.export import export_deblender, load_exported, roundtrip_check
+
+STAMPS = "/root/reference/src/debvader/data/dc2_imgs/imgs_dc2.npy"
+
+
+def main():
+    stamps = np.load(STAMPS).astype(np.float32)
+    model = dt.create_model_vae(dt.ModelConfig())
+    variables = dt.init_vae(model, jax.random.PRNGKey(0))
+
+    blob = export_deblender(model, variables, batch_size=len(stamps), path="/tmp/deblender.stablehlo")
+    print(f"exported {len(blob) / 1e6:.1f} MB artifact")
+
+    call = load_exported("/tmp/deblender.stablehlo")
+    mean, std = call(stamps, jax.random.key_data(jax.random.PRNGKey(0)))
+    print(f"reloaded artifact output: {mean.shape}, stddev floor {float(np.min(std)):.2e}")
+
+    ok = roundtrip_check(model, variables, stamps)
+    print("parity vs live model:", "PASS" if ok else "FAIL")
+
+
+if __name__ == "__main__":
+    main()
