@@ -32,7 +32,7 @@ from debvader_tpu.ops.registration import position_optimization
 from debvader_tpu.pipeline.field import DeblendField
 from debvader_tpu.pipeline.iterative import IterativeDeblendField
 from debvader_tpu.training.checkpoint import define_callbacks, load_deblender
-from debvader_tpu.training.losses import mse, nll
+from debvader_tpu.training.losses import mse
 from debvader_tpu.training.train import train_deblender, train_network
 
 __all__ = [

@@ -37,7 +37,7 @@ from debvader_tpu.models.distributions import (
     mvn_params_size,
     softplus_tril,
 )
-from debvader_tpu.models.layers import ConvTranspose2DTF, KerasBatchNorm, PReLU
+from debvader_tpu.models.layers import ConvTranspose2DTF, PReLU
 
 __all__ = ["Encoder", "Decoder", "DeblenderVAE", "create_model_vae", "init_vae"]
 

@@ -16,8 +16,6 @@ entire field's worth of deblended galaxies:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

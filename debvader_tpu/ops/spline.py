@@ -22,8 +22,6 @@ via PipelineConfig.interp_order = 3.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -31,7 +31,6 @@ from debvader_tpu.config import PipelineConfig
 from debvader_tpu.ops.extraction import extract_cutouts
 from debvader_tpu.ops.registration import position_optimization_batch
 from debvader_tpu.ops.shift import render_field
-from debvader_tpu.training.losses import mse as _mse
 
 __all__ = ["DeblendField"]
 

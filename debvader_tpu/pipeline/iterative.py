@@ -24,7 +24,6 @@ import numpy as np
 
 from debvader_tpu.ops.detection import detect_objects
 from debvader_tpu.pipeline.field import DeblendField
-from debvader_tpu.training.losses import mse as _jmse
 
 __all__ = ["IterativeDeblendField"]
 

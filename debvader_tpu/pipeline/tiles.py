@@ -21,11 +21,9 @@ multi-device field deblending (the 'data' mesh axis).
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from debvader_tpu.config import DetectionConfig, PipelineConfig
+from debvader_tpu.config import DetectionConfig
 from debvader_tpu.ops.detection import detect_sources
 from debvader_tpu.pipeline.field import DeblendField
 

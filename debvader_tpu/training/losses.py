@@ -19,11 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from debvader_tpu.models.distributions import (
-    MultivariateNormalTriL,
-    PixelNormal,
-    kl_mvn_tril_standard_normal,
-)
+from debvader_tpu.models.distributions import MultivariateNormalTriL, PixelNormal
 
 __all__ = ["mse", "nll", "kl_divergence", "elbo_terms"]
 

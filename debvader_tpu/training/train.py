@@ -17,8 +17,6 @@ step.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Callable, Iterable
 
 import jax
