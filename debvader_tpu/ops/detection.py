@@ -223,6 +223,115 @@ def _detect_core(image: jax.Array, cfg: DetectionConfig):
     return labels, is_peak, filt, fore, globalrms
 
 
+def _multi_threshold_merge(labels, filt, threshold, cfg: DetectionConfig):
+    """SExtractor-style quantized deblending criterion on watershed segments.
+
+    The reference's sep.extract uses 64 exponentially-spaced thresholds
+    between the detection threshold and the island peak
+    (detect/detection.py:20-21: deblend_nthresh=64, deblend_cont=1e-5); a
+    local maximum only becomes a separate object if (a) at least one
+    quantization level separates its peak from the saddle to its neighbor
+    and (b) its flux exceeds deblend_cont x island flux.  The watershed
+    splits at *every* strict local max; this pass merges back the splits
+    sep would not have made.
+
+    Host-side numpy over the (F, F) label map: saddle heights come from
+    8-neighbor boundary pixels, the quantization uses each touching pair's
+    joint peak, merges apply weakest-peak-first.  Returns the relabeled map.
+    """
+    f = labels.shape[0]
+    mask = labels >= 0
+    if not mask.any():
+        return labels
+
+    # --- saddle heights between touching segments -------------------------
+    saddles: dict[tuple[int, int], float] = {}
+    for dy, dx in ((0, 1), (1, 0), (1, 1), (1, -1)):
+        a = labels[max(0, -dy) : f - max(0, dy), max(0, -dx) : f - max(0, dx)]
+        b = labels[max(0, dy) : f + min(0, dy) or f, max(0, dx) : f + min(0, dx) or f]
+        fa = filt[max(0, -dy) : f - max(0, dy), max(0, -dx) : f - max(0, dx)]
+        fb = filt[max(0, dy) : f + min(0, dy) or f, max(0, dx) : f + min(0, dx) or f]
+        touch = (a >= 0) & (b >= 0) & (a != b)
+        if not touch.any():
+            continue
+        la, lb = a[touch], b[touch]
+        h = np.minimum(fa[touch], fb[touch])
+        lo = np.minimum(la, lb)
+        hi = np.maximum(la, lb)
+        for key_lo, key_hi, hh in zip(lo, hi, h):
+            k = (int(key_lo), int(key_hi))
+            if hh > saddles.get(k, -np.inf):
+                saddles[k] = float(hh)
+    if not saddles:
+        return labels
+
+    flat = labels.ravel()
+    peak_of = {}  # label -> filtered peak value
+    flux_of = {}
+    w = np.where(mask.ravel(), np.maximum(filt.ravel(), 0.0), 0.0)
+    for lab in np.unique(flat[flat >= 0]):
+        peak_of[int(lab)] = float(filt.ravel()[lab])
+        flux_of[int(lab)] = float(w[flat == lab].sum())
+
+    nthr = max(cfg.deblend_nthresh, 1)
+    thr = max(float(threshold), 1e-30)
+
+    def level(v, island_peak):
+        if island_peak <= thr or v <= thr:
+            return 0
+        x = np.log(v / thr) / np.log(island_peak / thr)
+        return int(np.clip(np.floor(x * nthr), 0, nthr))
+
+    # weakest peaks first
+    parent = {lab: lab for lab in peak_of}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    changed = True
+    while changed:
+        changed = False
+        for lab in sorted(peak_of, key=lambda l: peak_of[l]):
+            root = find(lab)
+            if root != lab:
+                continue
+            # best saddle to any touching neighbor (by current roots)
+            best = None
+            for (a, b), h in saddles.items():
+                ra, rb = find(a), find(b)
+                if ra == rb:
+                    continue
+                if ra == root or rb == root:
+                    other = rb if ra == root else ra
+                    if best is None or h > best[1]:
+                        best = (other, h)
+            if best is None:
+                continue
+            other, saddle = best
+            if peak_of[other] < peak_of[root]:
+                continue  # only merge into a brighter neighbor
+            island_peak = max(peak_of[root], peak_of[other])
+            island_flux = flux_of[root] + flux_of[other]
+            separated = level(peak_of[root], island_peak) > level(saddle, island_peak)
+            significant = flux_of[root] > cfg.deblend_cont * island_flux
+            if not (separated and significant):
+                parent[root] = other
+                flux_of[other] += flux_of[root]
+                changed = True
+
+    remap = {lab: find(lab) for lab in peak_of}
+    if all(k == v for k, v in remap.items()):
+        return labels
+    out = labels.copy()
+    for src, dst in remap.items():
+        if src != dst:
+            out[labels == src] = dst
+    return out
+
+
 def detect_sources(image_2d, cfg: DetectionConfig | None = None):
     """Full detection on a 2D band.  Returns dict with 'y', 'x' (float
     barycenters), 'area', 'flux', 'peak_yx', and the label map."""
@@ -233,6 +342,19 @@ def detect_sources(image_2d, cfg: DetectionConfig | None = None):
 
     labels_np = np.asarray(labels)
     filt_np = np.asarray(filt)
+
+    # Quantized multi-threshold deblending criterion (sep's
+    # deblend_nthresh/deblend_cont) applied to the watershed splits.
+    if cfg.threshold_scaling == "matched":
+        knorm = float(
+            np.sqrt((default_filter_kernel(cfg.filter_size, cfg.filter_fwhm) ** 2).sum())
+        )
+    else:
+        knorm = 1.0
+    thr_val = cfg.thresh * float(globalrms) * knorm
+    labels_np = _multi_threshold_merge(labels_np, filt_np, thr_val, cfg)
+    # (merged-away peaks keep their is_peak flag but own zero pixels, so the
+    # minarea filter below drops them automatically)
     mask_np = labels_np >= 0
 
     flat_labels = labels_np.ravel()

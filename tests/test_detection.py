@@ -195,3 +195,29 @@ def test_clean_preserves_dc2_truth_matches():
     b = detect_objects(field, DetectionConfig(clean=True))
     assert len(b) <= len(a)
     assert len(b) > 0.9 * len(a)  # CLEAN is a light touch here
+
+
+def test_multi_threshold_merge_same_level_peaks():
+    """Two local maxima separated by a saddle within one quantization level
+    must merge (sep deblend_nthresh semantics); well-separated peaks must
+    not."""
+    img = _field(noise=0.002)
+    _add_gauss(img, 60.0, 60.0, 2.0)
+    _add_gauss(img, 60.0, 67.0, 1.9)
+    # with very few levels, the peak/saddle gap quantizes away -> merge;
+    # the reference's 64 levels resolve it -> split
+    few = detect_sources(img, DetectionConfig(thresh=25.0, deblend_nthresh=2))
+    many = detect_sources(img, DetectionConfig(thresh=25.0, deblend_nthresh=64))
+    assert len(few["y"]) == 1
+    assert len(many["y"]) == 2
+
+
+def test_deblend_cont_flux_criterion():
+    # a faint sub-peak below the contrast floor merges even if separated
+    img = _field(noise=0.002)
+    _add_gauss(img, 60.0, 60.0, 30.0, sigma=2.0)
+    _add_gauss(img, 60.0, 68.0, 0.35, sigma=1.2)
+    lo = detect_sources(img, DetectionConfig(thresh=25.0, deblend_cont=1e-5))
+    hi = detect_sources(img, DetectionConfig(thresh=25.0, deblend_cont=0.5))
+    assert len(hi["y"]) <= len(lo["y"])
+    assert len(hi["y"]) == 1
