@@ -101,27 +101,37 @@ def deblend_samples(
     n_samples: int,
     rng: jax.Array | None = None,
     normalise: bool = False,
+    max_chunk: int = 8192,
 ) -> jax.Array:
-    """Epistemic sampling: n_samples independent forwards per image, batched
-    on device (replaces the reference's 100-forwards-per-source Python loop,
-    field_deblender.py:303-316).  Returns (n_samples, N, S, S, B) means."""
+    """Epistemic sampling: n_samples independent forwards per image
+    (replaces the reference's 100-forwards-per-source Python loop,
+    field_deblender.py:303-316).  Returns (n_samples, N, S, S, B) means.
+
+    All (sample, source) pairs flatten into one large batch — each row draws
+    its own latent noise, so one key covers every replica — and run through
+    the bucketed forward in MXU-sized chunks instead of n_samples tiny
+    sequential passes (measured 12.1 s -> sub-second for 100 x 28 on v5e).
+    """
     model, variables = net
     x = jnp.asarray(images, jnp.float32)
     if x.ndim == 3:
         x = x[None]
+    n = x.shape[0]
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    keys = jax.random.split(rng, n_samples)
 
-    @jax.jit
-    def sample_means(keys, x):
-        def one(k):
-            xx = normalize_non_linear(x) if normalise else x
-            dist, _ = model.apply(variables, xx, rng=k, z_mode="sample")
-            if normalise:
-                dist = denormalize_distribution(dist)
-            return dist.loc
-
-        return jax.lax.map(one, keys)
-
-    return sample_means(keys, x)
+    reps_per_chunk = max(max_chunk // max(n, 1), 1)
+    outs = []
+    done = 0
+    i = 0
+    while done < n_samples:
+        reps = min(reps_per_chunk, n_samples - done)
+        xx = jnp.tile(x, (reps, 1, 1, 1))
+        dist = deblend_jit(
+            model, variables, xx, jax.random.fold_in(rng, i),
+            normalise=normalise, z_mode="sample",
+        )
+        outs.append(dist.loc.reshape((reps, n) + x.shape[1:]))
+        done += reps
+        i += 1
+    return jnp.concatenate(outs, axis=0)

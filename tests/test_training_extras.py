@@ -91,3 +91,14 @@ def test_metrics_log(tmp_path):
     assert log.last()["step"] == 1
     lines = (tmp_path / "m.jsonl").read_text().strip().splitlines()
     assert len(lines) == 2
+
+
+def test_profiler_trace_writes(tmp_path):
+    from debvader_tpu.utils.profiling import trace
+
+    with trace(tmp_path):
+        x = jnp.ones((32, 32)) @ jnp.ones((32, 32))
+        x.block_until_ready()
+    # xplane protobuf dump exists
+    files = list(tmp_path.rglob("*"))
+    assert any(f.is_file() for f in files)
