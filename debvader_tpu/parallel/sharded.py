@@ -41,11 +41,13 @@ def create_sharded_train_state(
     train_cfg: TrainConfig | None = None,
     rng: jax.Array | None = None,
     freeze_decoder: bool = False,
+    freeze: str | None = None,
     variables: Any | None = None,
 ) -> TrainState:
     """Initialize a TrainState with params/opt-state laid out on the mesh."""
     state = create_train_state(
-        model, train_cfg, rng=rng, freeze_decoder=freeze_decoder, variables=variables
+        model, train_cfg, rng=rng, freeze_decoder=freeze_decoder, freeze=freeze,
+        variables=variables,
     )
     p_shard = mesh_lib.param_shardings(state.params, mesh)
     rep = mesh_lib.replicated(mesh)

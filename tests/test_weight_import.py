@@ -110,3 +110,15 @@ def test_import_applies_values(variables):
         back["params"]["encoder"]["Conv_0"]["kernel"],
         np.asarray(variables["params"]["encoder"]["Conv_0"]["kernel"]) + 1.0,
     )
+
+
+def test_packaged_sim_demo_weights_load():
+    """The framework ships trained demo weights (load_deblender('sim_demo')
+    — the reference ships 'dc2'); verify the packaged load path."""
+    from debvader_tpu.training.checkpoint import default_weights_dir, load_deblender
+
+    if not (default_weights_dir() / "sim_demo").exists():
+        pytest.skip("sim_demo weights not present")
+    model, variables2 = load_deblender("sim_demo")
+    n = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(variables2))
+    assert n == 8_318_452
