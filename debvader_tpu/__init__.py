@@ -38,11 +38,12 @@ __all__ = [
 
 def __getattr__(name):
     # Scene pipeline classes import lazily to keep bare model use light.
-    if name in ("DeblendField", "IterativeDeblendField"):
-        from debvader_tpu.pipeline import field, iterative
+    if name in ("DeblendField", "IterativeDeblendField", "TiledDeblendField"):
+        from debvader_tpu.pipeline import field, iterative, tiles
 
         return {
             "DeblendField": field.DeblendField,
             "IterativeDeblendField": iterative.IterativeDeblendField,
+            "TiledDeblendField": tiles.TiledDeblendField,
         }[name]
     raise AttributeError(name)

@@ -142,3 +142,24 @@ def test_bfloat16_compute_close_to_fp32():
     np.testing.assert_allclose(
         np.asarray(d16.loc), np.asarray(d32.loc), atol=0.05, rtol=0.1
     )
+
+
+def test_deblend_samples_chunking_consistency():
+    """Chunked (sample, source) flattening: odd sample counts and chunk
+    boundaries produce the right shapes and independent draws."""
+    from debvader_tpu.api import deblend_samples
+
+    cfg = ModelConfig(stamp_size=23, nb_of_bands=3, latent_dim=4, filters=(4, 8), kernels=(3, 3))
+    model = DeblenderVAE(cfg)
+    variables = init_vae(model, jax.random.PRNGKey(0))
+    x = np.random.default_rng(0).normal(size=(5, 23, 23, 3)).astype(np.float32)
+    # max_chunk forces 2 stamps' worth of replicas per chunk -> 4 chunks for 7
+    s = deblend_samples((model, variables), x, n_samples=7, max_chunk=10)
+    assert s.shape == (7, 5, 23, 23, 3)
+    arr = np.asarray(s)
+    # replicas differ (independent latent draws), including across chunks
+    assert not np.allclose(arr[0], arr[1])
+    assert not np.allclose(arr[1], arr[3])
+    # deterministic given the same key
+    s2 = deblend_samples((model, variables), x, n_samples=7, max_chunk=10)
+    np.testing.assert_array_equal(arr, np.asarray(s2))
