@@ -92,6 +92,7 @@ class DeblendField:
         epistemic_criterion: float = 100.0,
         mse_criterion: float = 100.0,
         field_image=None,
+        measure: bool = False,
     ):
         """Single-pass scene deblend (field_deblender.py:219-382).
 
@@ -100,6 +101,11 @@ class DeblendField:
         galaxy_distances_to_center_x/y, epistemic_uncertainty, passed_cuts —
         or a dict of Nones if nothing survives extraction (the reference's
         early-exit contract, field_deblender.py:275-277).
+
+        ``measure=True`` additionally runs the photometry/shape ops
+        (ops/measure.py — the reference's empty measure/ package) over the
+        deblended means in one jit, appending flux, centroid, ellipticity
+        and snr columns.
         """
         empty = {
             "cutout_images": None,
@@ -222,6 +228,16 @@ class DeblendField:
             "epistemic_uncertainty": list(epistemic),
             "passed_cuts": list(passed_cuts),
         }
+
+        if measure:
+            from debvader_tpu.ops.measure import measure_batch
+
+            m = measure_batch(jnp.asarray(means), jnp.asarray(stddevs))
+            res["flux"] = list(np.asarray(m["flux"]))
+            res["centroid"] = list(np.asarray(m["centroid"]))
+            res["ellipticity"] = list(np.asarray(m["ellipticity"]))
+            res["snr"] = list(np.asarray(m["snr"]))
+
         self.res_deblend = pd.DataFrame(res).to_records(index=False)
         return self.res_deblend
 

@@ -228,3 +228,14 @@ def test_iterative_cumulative_residual(tiny_net):
     assert res is not None and len(res) >= len(centers)
     resid = idf.get_residual_field(res_deblend=res)
     assert np.isfinite(resid).all()
+
+
+def test_deblend_field_with_measurements(tiny_net):
+    field, centers = _tiny_field()
+    df = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    res = df.deblend_field(centers, measure=True)
+    for col in ("flux", "centroid", "ellipticity", "snr"):
+        assert col in res.dtype.names
+    assert np.asarray(res[0]["flux"]).shape == (3,)
+    assert np.asarray(res[0]["ellipticity"]).shape == (3, 2)
+    assert np.isfinite(np.asarray(res[0]["snr"])).all()
