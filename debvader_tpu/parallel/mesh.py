@@ -40,9 +40,30 @@ MODEL_AXIS = "model"
 def make_mesh(
     n_devices: int | None = None, model_parallel: int = 1, devices=None
 ) -> Mesh:
-    """Build a ('data', 'model') mesh over the available devices."""
-    devices = devices if devices is not None else jax.devices()
+    """Build a ('data', 'model') mesh over the available devices.
+
+    When the default backend exposes fewer than ``n_devices`` (e.g. a
+    single tunneled TPU chip while the host CPU backend was split into N
+    virtual devices via ``--xla_force_host_platform_device_count``), the
+    mesh falls back to ``jax.devices('cpu')`` so multi-chip layouts stay
+    testable on one machine.  Under-provisioning is an error, never a
+    silent truncation.
+    """
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None and len(devices) < n_devices:
+            try:
+                cpu = jax.devices("cpu")
+            except RuntimeError:
+                cpu = []
+            if len(cpu) >= n_devices:
+                devices = cpu
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested n_devices={n_devices} but only {len(devices)} "
+                f"available (platform {devices[0].platform if devices else '?'})"
+            )
         devices = devices[:n_devices]
     n = len(devices)
     if n % model_parallel:
