@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["PReLU", "ConvTranspose2DTF", "KerasBatchNorm"]
+__all__ = ["PReLU", "ConvTranspose2DTF"]
 
 
 class PReLU(nn.Module):
@@ -40,23 +40,6 @@ class PReLU(nn.Module):
         alpha = self.param("alpha", nn.initializers.zeros, x.shape[1:], jnp.float32)
         a = alpha.astype(x.dtype)
         return jnp.maximum(x, 0) + a * jnp.minimum(x, 0)
-
-
-class KerasBatchNorm(nn.Module):
-    """BatchNormalization with Keras defaults (eps=1e-3, momentum=0.99)."""
-
-    use_running_average: bool = True
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.BatchNorm(
-            use_running_average=self.use_running_average,
-            momentum=0.99,
-            epsilon=1e-3,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
 
 
 class ConvTranspose2DTF(nn.Module):

@@ -82,9 +82,24 @@ bool parse_npy(const char* path, NpyArray* out, std::string* err) {
   size_t q0 = descr.find('\'');
   size_t q1 = descr.find('\'', q0 + 1);
   std::string ds = descr.substr(q0 + 1, q1 - q0 - 1);  // e.g. "<f8"
-  out->little_endian = !(ds[0] == '>');
-  out->dtype_kind = ds[ds.size() - 2];
-  out->itemsize = ds[ds.size() - 1] - '0';
+  size_t di = 0;
+  if (!ds.empty() && (ds[0] == '<' || ds[0] == '>' || ds[0] == '=' || ds[0] == '|')) {
+    out->little_endian = ds[0] != '>';
+    di = 1;
+  }
+  out->dtype_kind = di < ds.size() ? ds[di] : '?';
+  out->itemsize = di + 1 < ds.size() ? std::atoi(ds.c_str() + di + 1) : 0;
+  // convert_row only understands f4/f8/i4; fail loudly at open instead of
+  // zero-filling batches at runtime.
+  bool supported =
+      (out->dtype_kind == 'f' && (out->itemsize == 4 || out->itemsize == 8)) ||
+      (out->dtype_kind == 'i' && out->itemsize == 4);
+  if (!supported || !out->little_endian) {
+    ::munmap(base, st.st_size);
+    *err = "unsupported dtype '" + ds + "' in " + std::string(path) +
+           " (need little-endian f4/f8/i4)";
+    return false;
+  }
 
   std::string fortran = find_value("fortran_order");
   if (fortran.find("True") != std::string::npos) {
@@ -123,11 +138,10 @@ void convert_row(const NpyArray& arr, int64_t row, float* dst) {
   } else if (arr.dtype_kind == 'f' && arr.itemsize == 8) {
     const double* s = reinterpret_cast<const double*>(src);
     for (int64_t i = 0; i < n; ++i) dst[i] = static_cast<float>(s[i]);
-  } else if (arr.dtype_kind == 'i' && arr.itemsize == 4) {
+  } else {
+    // dvl_open rejects anything else; only i4 remains.
     const int32_t* s = reinterpret_cast<const int32_t*>(src);
     for (int64_t i = 0; i < n; ++i) dst[i] = static_cast<float>(s[i]);
-  } else {
-    memset(dst, 0, n * 4);
   }
 }
 
@@ -233,6 +247,12 @@ int64_t dvl_y_row_elems(void* h) { return static_cast<Loader*>(h)->ys.row_elems(
 int64_t dvl_ndim_x(void* h) { return static_cast<Loader*>(h)->xs.shape.size(); }
 void dvl_shape_x(void* h, int64_t* out) {
   auto& s = static_cast<Loader*>(h)->xs.shape;
+  for (size_t i = 0; i < s.size(); ++i) out[i] = s[i];
+}
+
+int64_t dvl_ndim_y(void* h) { return static_cast<Loader*>(h)->ys.shape.size(); }
+void dvl_shape_y(void* h, int64_t* out) {
+  auto& s = static_cast<Loader*>(h)->ys.shape;
   for (size_t i = 0; i < s.size(); ++i) out[i] = s[i];
 }
 

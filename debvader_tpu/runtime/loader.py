@@ -51,10 +51,20 @@ def _get_lib():
             ctypes.c_int, ctypes.c_uint64,
         ]
         lib.dvl_last_error.restype = ctypes.c_char_p
-        for fn in ("dvl_rows", "dvl_x_row_elems", "dvl_y_row_elems", "dvl_ndim_x"):
+        for fn in (
+            "dvl_rows",
+            "dvl_x_row_elems",
+            "dvl_y_row_elems",
+            "dvl_ndim_x",
+            "dvl_ndim_y",
+        ):
             getattr(lib, fn).restype = ctypes.c_int64
             getattr(lib, fn).argtypes = [ctypes.c_void_p]
-        lib.dvl_shape_x.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+        for fn in ("dvl_shape_x", "dvl_shape_y"):
+            getattr(lib, fn).argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
         lib.dvl_next.restype = ctypes.c_int
         lib.dvl_next.argtypes = [
             ctypes.c_void_p,
@@ -96,10 +106,15 @@ class NativeNpyLoader:
             )
         self.batch_size = batch_size
         self.rows = lib.dvl_rows(self._handle)
-        ndim = lib.dvl_ndim_x(self._handle)
-        shape = (ctypes.c_int64 * ndim)()
-        lib.dvl_shape_x(self._handle, shape)
-        self.x_shape = tuple(int(s) for s in shape)
+
+        def _shape(ndim_fn, shape_fn):
+            ndim = ndim_fn(self._handle)
+            buf = (ctypes.c_int64 * ndim)()
+            shape_fn(self._handle, buf)
+            return tuple(int(s) for s in buf)
+
+        self.x_shape = _shape(lib.dvl_ndim_x, lib.dvl_shape_x)
+        self.y_shape = _shape(lib.dvl_ndim_y, lib.dvl_shape_y)
         self._xe = lib.dvl_x_row_elems(self._handle)
         self._ye = lib.dvl_y_row_elems(self._handle)
 
@@ -116,9 +131,9 @@ class NativeNpyLoader:
         )
         if n < 0:
             raise StopIteration
-        tail = self.x_shape[1:]
-        return x.reshape((self.batch_size,) + tail), y.reshape(
-            (self.batch_size,) + tail
+        return (
+            x.reshape((self.batch_size,) + self.x_shape[1:]),
+            y.reshape((self.batch_size,) + self.y_shape[1:]),
         )
 
     def __iter__(self):

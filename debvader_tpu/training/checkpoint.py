@@ -100,7 +100,14 @@ def _candidate_ckpts(survey_dir: Path):
     if not survey_dir.exists():
         return []
     found = [p for p in survey_dir.rglob("ckpt") if p.is_dir()]
-    return sorted(found, key=lambda p: p.stat().st_mtime, reverse=True)
+    # Deterministic order: newest mtime first, ties broken by preferring the
+    # val_loss monitor dir, then lexicographic path (the reference's
+    # tf.train.latest_checkpoint reads a single marker file, so ties can't
+    # happen there; here two monitors may save in the same epoch).
+    return sorted(
+        found,
+        key=lambda p: (-p.stat().st_mtime, p.parent.name != "val_loss", str(p)),
+    )
 
 
 def save_train_state(path: str | os.PathLike, state) -> None:

@@ -41,7 +41,7 @@ _DTYPES = {
     7: str,  # string (unused here)
     9: np.int64,
     10: np.bool_,
-    14: np.dtype("bfloat16") if hasattr(np, "bfloat16") else np.uint16,
+    14: "bfloat16",  # no stock-numpy dtype: decoded by widening in read_tensor
     19: np.float16,
 }
 
@@ -224,6 +224,11 @@ def read_tensor(
     dt = e.numpy_dtype
     if dt is None:
         raise ValueError(f"unsupported dtype {e.dtype} for {key}")
+    if dt == "bfloat16":
+        # Widen bf16 bit patterns into float32 (bf16 is the top 16 bits of
+        # an f32); never hand back raw uint16 as parameter values.
+        bits = np.frombuffer(raw, dtype="<u2").astype(np.uint32) << 16
+        return bits.view(np.float32).reshape(e.shape).copy()
     return np.frombuffer(raw, dtype=dt).reshape(e.shape).copy()
 
 

@@ -76,6 +76,41 @@ def test_native_open_errors(npy_pair, tmp_path):
         NativeNpyLoader(xp, yp, 10_000)
 
 
+@needs_native
+def test_native_y_shape_differs_from_x(tmp_path):
+    """Labels with their own per-row shape reshape with y's tail dims."""
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(64, 5, 5, 2))
+    y = rng.normal(size=(64, 3)).astype(np.float32)
+    xp, yp = tmp_path / "x.npy", tmp_path / "y.npy"
+    np.save(xp, x)
+    np.save(yp, y)
+    ld = NativeNpyLoader(xp, yp, 8, shuffle=False, seed=0)
+    bx, by = ld.next_batch()
+    assert bx.shape == (8, 5, 5, 2)
+    assert by.shape == (8, 3)
+    np.testing.assert_allclose(by, y[:8])
+    ld.close()
+
+
+@needs_native
+def test_native_rejects_unsupported_dtype(tmp_path):
+    """float16 / bool / big-endian archives error at open, never zero-fill."""
+    good = np.zeros((16, 4), np.float32)
+    xp = tmp_path / "x.npy"
+    np.save(xp, good)
+    for bad in (
+        np.zeros((16, 4), np.float16),
+        np.zeros((16, 4), bool),
+        np.zeros((16, 4), ">f4"),
+        np.zeros((16, 4), np.int64),
+    ):
+        bp = tmp_path / "bad.npy"
+        np.save(bp, bad)
+        with pytest.raises(RuntimeError, match="unsupported dtype"):
+            NativeNpyLoader(xp, bp, 4)
+
+
 def test_numpy_fallback_contract(npy_pair):
     _, _, x, y = npy_pair
     ld = NumpyLoader(x, y, 16, shuffle=True, seed=0)

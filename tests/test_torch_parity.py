@@ -10,9 +10,11 @@ on the bottom/right)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import torch
-import torch.nn.functional as F
-from flax import linen as nn
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+from flax import linen as nn  # noqa: E402
 
 from debvader_tpu.models.layers import ConvTranspose2DTF
 

@@ -101,6 +101,22 @@ def test_partial_snapshot_loads_shard0_only():
         import_from_tensors(tensors, strict=True)
 
 
+def test_bf16_tensor_decodes_by_widening(tmp_path):
+    """bf16 ckpt tensors materialize as float32 values, never raw uint16."""
+    from debvader_tpu.utils.tf_checkpoint import BundleEntry, read_tensor
+
+    want = np.array([1.5, -2.0, 0.0, 3.25], np.float32)
+    bf16_bits = (want.view(np.uint32) >> 16).astype("<u2")  # exact in bf16
+    shard = tmp_path / "w.ckpt.data-00000-of-00001"
+    shard.write_bytes(bf16_bits.tobytes())
+    entries = {
+        "t": BundleEntry(dtype=14, shape=(4,), shard_id=0, offset=0, size=8)
+    }
+    got = read_tensor(tmp_path / "w.ckpt", "t", entries)
+    assert got.dtype == np.float32
+    np.testing.assert_array_equal(got, want)
+
+
 def test_import_applies_values(variables):
     tensors = export_to_tensors(variables)
     tensors = {k: v + 1.0 for k, v in tensors.items()}
