@@ -77,8 +77,9 @@ class DetectionConfig:
 
     thresh: float = 1.5  # in units of global background RMS
     minarea: int = 4
-    deblend_nthresh: int = 32  # reference uses 64; 32 keeps the on-device
-    # multi-threshold scan cheap with no measured difference on DC2 fields.
+    deblend_nthresh: int = 64  # reference value (detect/detection.py:20);
+    # on DC2 fields 2/3, 64 vs 32 levels changes counts by +14/+18 of ~700
+    # (extra close-pair splits) with identical truth-match quality.
     deblend_cont: float = 1e-5
     background_box: int = 64  # sep.Background default bw/bh
     background_fthresh: float = 0.0
@@ -87,12 +88,16 @@ class DetectionConfig:
     detection_band: int = 2  # r band (detect/detection.py:14)
     max_sources: int = 256  # static upper bound for jit-compatible outputs
     # Detection-threshold normalization for the filtered image:
-    #   'matched'  -> thresh * rms * ||k||_2 (correct matched-filter
-    #                 significance; default)
-    #   'sep_conv' -> thresh * rms (bug-compatible with sep filter_type=
-    #                 'conv', which compares the unnormalized convolution
-    #                 against the unfiltered-noise threshold)
-    threshold_scaling: str = "matched"
+    #   'sep_conv' -> thresh * rms, matching sep filter_type='conv' (the
+    #                 reference's behavior: the unnormalized convolution is
+    #                 compared against the unfiltered-noise threshold), so
+    #                 the zero-config path is reference-faithful; default.
+    #   'matched'  -> thresh * rms * ||k||_2, the statistically correct
+    #                 matched-filter significance (an effectively ~2.2x
+    #                 higher threshold for the 7x7 kernel).  On DC2 fields
+    #                 2/3 'sep_conv' finds 699/763 sources vs 382/384 for
+    #                 'matched', same truth-match quality (PARITY.md).
+    threshold_scaling: str = "sep_conv"
     # Use the fused Pallas matched-filter kernel instead of the XLA conv
     # chain (kernels/matched_filter.py; measured at parity on v5e).
     use_pallas_filter: bool = False

@@ -240,12 +240,13 @@ def _multi_threshold_merge(labels, filt, threshold, cfg: DetectionConfig):
     joint peak, merges apply weakest-peak-first.  Returns the relabeled map.
     """
     f = labels.shape[0]
-    mask = labels >= 0
-    if not mask.any():
+    flat = labels.ravel()
+    pix_mask = flat >= 0
+    if not pix_mask.any():
         return labels
 
-    # --- saddle heights between touching segments -------------------------
-    saddles: dict[tuple[int, int], float] = {}
+    # --- saddle heights between touching segments (vectorized) ------------
+    lo_parts, hi_parts, h_parts = [], [], []
     for dy, dx in ((0, 1), (1, 0), (1, 1), (1, -1)):
         a = labels[max(0, -dy) : f - max(0, dy), max(0, -dx) : f - max(0, dx)]
         b = labels[max(0, dy) : f + min(0, dy) or f, max(0, dx) : f + min(0, dx) or f]
@@ -255,23 +256,33 @@ def _multi_threshold_merge(labels, filt, threshold, cfg: DetectionConfig):
         if not touch.any():
             continue
         la, lb = a[touch], b[touch]
-        h = np.minimum(fa[touch], fb[touch])
-        lo = np.minimum(la, lb)
-        hi = np.maximum(la, lb)
-        for key_lo, key_hi, hh in zip(lo, hi, h):
-            k = (int(key_lo), int(key_hi))
-            if hh > saddles.get(k, -np.inf):
-                saddles[k] = float(hh)
-    if not saddles:
+        lo_parts.append(np.minimum(la, lb))
+        hi_parts.append(np.maximum(la, lb))
+        h_parts.append(np.minimum(fa[touch], fb[touch]))
+    if not lo_parts:
         return labels
+    lo = np.concatenate(lo_parts).astype(np.int64)
+    hi = np.concatenate(hi_parts).astype(np.int64)
+    h = np.concatenate(h_parts).astype(np.float64)
 
-    flat = labels.ravel()
-    peak_of = {}  # label -> filtered peak value
-    flux_of = {}
-    w = np.where(mask.ravel(), np.maximum(filt.ravel(), 0.0), 0.0)
-    for lab in np.unique(flat[flat >= 0]):
-        peak_of[int(lab)] = float(filt.ravel()[lab])
-        flux_of[int(lab)] = float(w[flat == lab].sum())
+    # Compact labels (flat peak indices) to 0..L-1 ids; max saddle height
+    # per touching pair via a single unique/scatter-max pass.
+    labs = np.unique(flat[pix_mask]).astype(np.int64)
+    L = len(labs)
+    ia = np.searchsorted(labs, lo)
+    ib = np.searchsorted(labs, hi)
+    ukey, inv = np.unique(ia * L + ib, return_inverse=True)
+    eh = np.full(len(ukey), -np.inf)
+    np.maximum.at(eh, inv, h)
+    ea = ukey // L
+    eb = ukey % L
+
+    # Per-segment peaks and positive fluxes via scatter-adds.
+    fr = filt.ravel()
+    w = np.where(pix_mask, np.maximum(fr, 0.0), 0.0)
+    safe = np.where(pix_mask, flat, 0)
+    flux = np.bincount(safe, weights=w, minlength=f * f)[labs]
+    peak = fr[labs].astype(np.float64)
 
     nthr = max(cfg.deblend_nthresh, 1)
     thr = max(float(threshold), 1e-30)
@@ -282,54 +293,63 @@ def _multi_threshold_merge(labels, filt, threshold, cfg: DetectionConfig):
         x = np.log(v / thr) / np.log(island_peak / thr)
         return int(np.clip(np.floor(x * nthr), 0, nthr))
 
-    # weakest peaks first
-    parent = {lab: lab for lab in peak_of}
+    parent = np.arange(L)
 
     def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
 
+    # Incident-edge index lists per segment; merged segments donate their
+    # lists to the surviving root, so each root scans only its own
+    # component's boundary instead of every saddle in the field.
+    incident: list[list[int]] = [[] for _ in range(L)]
+    for e in range(len(eh)):
+        incident[ea[e]].append(e)
+        incident[eb[e]].append(e)
+
+    order = np.argsort(peak, kind="stable")  # weakest peaks first
     changed = True
     while changed:
         changed = False
-        for lab in sorted(peak_of, key=lambda l: peak_of[l]):
-            root = find(lab)
-            if root != lab:
+        for r in order:
+            r = int(r)
+            if parent[r] != r:
                 continue
             # best saddle to any touching neighbor (by current roots)
-            best = None
-            for (a, b), h in saddles.items():
-                ra, rb = find(a), find(b)
+            best_other, best_h = -1, -np.inf
+            for e in incident[r]:
+                ra, rb = find(int(ea[e])), find(int(eb[e]))
                 if ra == rb:
                     continue
-                if ra == root or rb == root:
-                    other = rb if ra == root else ra
-                    if best is None or h > best[1]:
-                        best = (other, h)
-            if best is None:
+                other = rb if ra == r else ra
+                if eh[e] > best_h:
+                    best_other, best_h = other, eh[e]
+            if best_other < 0:
                 continue
-            other, saddle = best
-            if peak_of[other] < peak_of[root]:
+            if peak[best_other] < peak[r]:
                 continue  # only merge into a brighter neighbor
-            island_peak = max(peak_of[root], peak_of[other])
-            island_flux = flux_of[root] + flux_of[other]
-            separated = level(peak_of[root], island_peak) > level(saddle, island_peak)
-            significant = flux_of[root] > cfg.deblend_cont * island_flux
+            island_peak = max(peak[r], peak[best_other])
+            island_flux = flux[r] + flux[best_other]
+            separated = level(peak[r], island_peak) > level(best_h, island_peak)
+            significant = flux[r] > cfg.deblend_cont * island_flux
             if not (separated and significant):
-                parent[root] = other
-                flux_of[other] += flux_of[root]
+                parent[r] = best_other
+                flux[best_other] += flux[r]
+                incident[best_other].extend(incident[r])
+                incident[r] = []
                 changed = True
 
-    remap = {lab: find(lab) for lab in peak_of}
-    if all(k == v for k, v in remap.items()):
+    roots = np.fromiter((find(i) for i in range(L)), np.int64, L)
+    if np.array_equal(roots, np.arange(L)):
         return labels
-    out = labels.copy()
-    for src, dst in remap.items():
-        if src != dst:
-            out[labels == src] = dst
-    return out
+    final = labs[roots]  # final original-label value per compact id
+    out_flat = flat.copy()
+    out_flat[pix_mask] = final[np.searchsorted(labs, flat[pix_mask])]
+    return out_flat.reshape(f, f)
 
 
 def detect_sources(image_2d, cfg: DetectionConfig | None = None):
@@ -403,10 +423,28 @@ def _clean_pass(ys, xs, peaks, cfg: DetectionConfig) -> np.ndarray:
     # filtering a PSF with itself widens it: sqrt(2) sigma
     s2 = 2.0 * (np.sqrt(2.0) * sigma) ** 2
     n = len(ys)
-    d2 = (ys[:, None] - ys[None, :]) ** 2 + (xs[:, None] - xs[None, :]) ** 2
-    wings = peaks[None, :] * np.exp(-d2 / s2)
-    brighter = peaks[None, :] > peaks[:, None]
-    contrib = np.where(brighter & ~np.eye(n, dtype=bool), wings, 0.0).sum(axis=1)
+    # Wings are Gaussian: beyond rcut every dropped term is < 1e-12 *
+    # min(peak) / n, so the summed contribution (and therefore the keep
+    # decision) is unchanged to double precision.  This turns the pairwise
+    # pass near-linear on survey fields instead of O(N^2).
+    pmax, pmin = float(peaks.max()), float(max(peaks.min(), 1e-300))
+    rcut = np.sqrt(s2 * (np.log(pmax / pmin) + np.log(max(n, 2)) + 28.0))
+    order = np.argsort(xs, kind="stable")
+    ys_s, xs_s, pk_s = ys[order], xs[order], peaks[order]
+    contrib_s = np.zeros(n)
+    chunk = 512
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        j0 = int(np.searchsorted(xs_s, xs_s[s] - rcut, "left"))
+        j1 = int(np.searchsorted(xs_s, xs_s[e - 1] + rcut, "right"))
+        d2 = (ys_s[s:e, None] - ys_s[None, j0:j1]) ** 2 + (
+            xs_s[s:e, None] - xs_s[None, j0:j1]
+        ) ** 2
+        wings = pk_s[None, j0:j1] * np.exp(-d2 / s2)
+        brighter = pk_s[None, j0:j1] > pk_s[s:e, None]  # strict: self is False
+        contrib_s[s:e] = np.where(brighter, wings, 0.0).sum(axis=1)
+    contrib = np.empty(n)
+    contrib[order] = contrib_s
     return peaks > cfg.clean_param * contrib
 
 

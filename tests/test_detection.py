@@ -97,16 +97,21 @@ def test_minarea_rejects_single_pixel_spikes():
     img = _field(noise=0.01)
     img[50, 50] += 0.7
     _add_gauss(img, 90.0, 90.0, 3.0)
-    obj = detect_sources(img, DetectionConfig(thresh=25.0, minarea=4))
+    obj = detect_sources(
+        img,
+        DetectionConfig(thresh=25.0, minarea=4, threshold_scaling="matched"),
+    )
     assert all(abs(y - 90) < 1 for y in obj["y"])
     assert len(obj["y"]) == 1
 
 
 def test_empty_field_no_detections():
     img = _field(noise=0.02)
-    obj = detect_sources(img, DetectionConfig(thresh=5.0))
+    # 'matched' scales the threshold by ||k||_2; the sep_conv equivalent
+    # significance needs thresh ~2.2x higher (||gauss_3_7x7||_2 ~= 2.21).
+    obj = detect_sources(img, DetectionConfig(thresh=5.0, threshold_scaling="matched"))
     assert len(obj["y"]) == 0
-    det = detect_objects(img, DetectionConfig(thresh=5.0))
+    det = detect_objects(img, DetectionConfig(thresh=11.1))  # default sep_conv
     assert det.shape == (0, 2)
 
 
