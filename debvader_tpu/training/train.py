@@ -230,15 +230,21 @@ def train_network(
     history: dict[str, list[float]] = {}
 
     for epoch in range(epochs):
-        epoch_metrics: dict[str, list[float]] = {}
+        # Metrics stay on device (running sums) and are fetched once per
+        # epoch — a float() per step would force a device->host sync that
+        # stalls the dispatch pipeline on every batch.
+        sums: dict[str, jax.Array] | None = None
+        n_steps = 0
         if use_loader:
             for _ in range(len(training_data)):
                 bx, by = training_data.next_batch()
                 state, terms = train_step(
                     state, jnp.asarray(bx, jnp.float32), jnp.asarray(by, jnp.float32)
                 )
-                for k, v in terms.items():
-                    epoch_metrics.setdefault(k, []).append(float(v))
+                sums = terms if sums is None else jax.tree_util.tree_map(
+                    jnp.add, sums, terms
+                )
+                n_steps += 1
         else:
             for idx in _batches(
                 len(x_tr), batch_size, shuffle_rng if train_cfg.shuffle else None
@@ -248,10 +254,13 @@ def train_network(
                     jnp.asarray(x_tr[idx], jnp.float32),
                     jnp.asarray(y_tr[idx], jnp.float32),
                 )
-                for k, v in terms.items():
-                    epoch_metrics.setdefault(k, []).append(float(v))
+                sums = terms if sums is None else jax.tree_util.tree_map(
+                    jnp.add, sums, terms
+                )
+                n_steps += 1
 
-        val_metrics: dict[str, list[float]] = {}
+        val_sums: dict[str, jax.Array] | None = None
+        n_val = 0
         val_rng = jax.random.fold_in(jax.random.PRNGKey(train_cfg.seed), epoch)
         n_val_steps = max(int(len(x_va) / batch_size), 1)
         for i, idx in enumerate(_batches(len(x_va), batch_size, None)):
@@ -263,11 +272,23 @@ def train_network(
                 jnp.asarray(y_va[idx], jnp.float32),
                 jax.random.fold_in(val_rng, i),
             )
-            for k, v in terms.items():
-                val_metrics.setdefault(k, []).append(float(v))
+            val_sums = terms if val_sums is None else jax.tree_util.tree_map(
+                jnp.add, val_sums, terms
+            )
+            n_val += 1
 
-        logs = {k: float(np.mean(v)) for k, v in epoch_metrics.items()}
-        logs.update({f"val_{k}": float(np.mean(v)) for k, v in val_metrics.items()})
+        logs = (
+            {k: float(v) / n_steps for k, v in jax.device_get(sums).items()}
+            if sums
+            else {}
+        )
+        if val_sums:
+            logs.update(
+                {
+                    f"val_{k}": float(v) / n_val
+                    for k, v in jax.device_get(val_sums).items()
+                }
+            )
         for k, v in logs.items():
             history.setdefault(k, []).append(v)
         if verbose == 1:
