@@ -102,6 +102,8 @@ def deblend_samples(
     rng: jax.Array | None = None,
     normalise: bool = False,
     max_chunk: int = 8192,
+    mesh=None,
+    apply_fn=None,
 ) -> jax.Array:
     """Epistemic sampling: n_samples independent forwards per image
     (replaces the reference's 100-forwards-per-source Python loop,
@@ -111,6 +113,11 @@ def deblend_samples(
     its own latent noise, so one key covers every replica — and run through
     the bucketed forward in MXU-sized chunks instead of n_samples tiny
     sequential passes (measured 12.1 s -> sub-second for 100 x 28 on v5e).
+
+    With ``mesh`` (and optionally a cached ``apply_fn`` from
+    ``make_sharded_apply``) the flattened (sample, source) batch is sharded
+    over the mesh's 'data' axis, so epistemic estimation scales across a
+    slice like the main forward.
     """
     model, variables = net
     x = jnp.asarray(images, jnp.float32)
@@ -120,6 +127,36 @@ def deblend_samples(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
+    if mesh is not None and apply_fn is None:
+        from debvader_tpu.parallel.sharded import make_sharded_apply
+
+        apply_fn = make_sharded_apply(model, mesh)
+
+    def forward(xx, key):
+        if apply_fn is None:
+            return deblend_jit(
+                model, variables, xx, key, normalise=normalise, z_mode="sample"
+            ).loc
+        from debvader_tpu.models.distributions import PixelNormal
+        from debvader_tpu.ops.normalize import (
+            denormalize_distribution,
+            normalize_non_linear,
+        )
+        from debvader_tpu.parallel.sharded import shard_batch
+
+        m = xx.shape[0]
+        if normalise:
+            xx = normalize_non_linear(xx)
+        pad = (-m) % mesh.shape["data"] if mesh is not None else 0
+        if pad:
+            xx = jnp.concatenate([xx, jnp.zeros((pad,) + xx.shape[1:], xx.dtype)])
+        if mesh is not None:
+            xx = shard_batch(xx, mesh)
+        dist = apply_fn(variables, xx, key)
+        if normalise:
+            dist = denormalize_distribution(dist)
+        return dist.loc[:m]
+
     reps_per_chunk = max(max_chunk // max(n, 1), 1)
     outs = []
     done = 0
@@ -127,11 +164,8 @@ def deblend_samples(
     while done < n_samples:
         reps = min(reps_per_chunk, n_samples - done)
         xx = jnp.tile(x, (reps, 1, 1, 1))
-        dist = deblend_jit(
-            model, variables, xx, jax.random.fold_in(rng, i),
-            normalise=normalise, z_mode="sample",
-        )
-        outs.append(dist.loc.reshape((reps, n) + x.shape[1:]))
+        loc = forward(xx, jax.random.fold_in(rng, i))
+        outs.append(loc.reshape((reps, n) + x.shape[1:]))
         done += reps
         i += 1
     return jnp.concatenate(outs, axis=0)

@@ -31,7 +31,7 @@ rounding convention (detection.py:48-56).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +42,7 @@ from debvader_tpu.config import DetectionConfig
 __all__ = [
     "detect_objects",
     "detect_sources",
+    "detect_sources_batched",
     "estimate_background",
     "default_filter_kernel",
 ]
@@ -357,12 +358,18 @@ def detect_sources(image_2d, cfg: DetectionConfig | None = None):
     barycenters), 'area', 'flux', 'peak_yx', and the label map."""
     cfg = cfg or DetectionConfig()
     image = jnp.asarray(image_2d, jnp.float32)
-    f = image.shape[0]
     labels, is_peak, filt, fore, globalrms = _detect_core(image, cfg)
+    return _postprocess_core(
+        np.asarray(labels), np.asarray(filt), np.asarray(is_peak),
+        float(globalrms), cfg,
+    )
 
-    labels_np = np.asarray(labels)
-    filt_np = np.asarray(filt)
 
+def _postprocess_core(labels_np, filt_np, is_peak_np, globalrms, cfg):
+    """Host stage after the jitted core: multi-threshold merge, minarea,
+    centroids, CLEAN.  Split out so tiled/sharded callers can run the core
+    batched on device and post-process each tile here."""
+    f = labels_np.shape[0]
     # Quantized multi-threshold deblending criterion (sep's
     # deblend_nthresh/deblend_cont) applied to the watershed splits.
     if cfg.threshold_scaling == "matched":
@@ -388,7 +395,7 @@ def detect_sources(image_2d, cfg: DetectionConfig | None = None):
     ysum = np.bincount(safe, weights=weights * yy.ravel(), minlength=size)
     xsum = np.bincount(safe, weights=weights * xx.ravel(), minlength=size)
 
-    peak_flat = np.flatnonzero(np.asarray(is_peak).ravel())
+    peak_flat = np.flatnonzero(np.asarray(is_peak_np).ravel())
     keep = peak_flat[area[peak_flat] >= cfg.minarea]
     fl = np.maximum(flux[keep], 1e-30)
     ys = ysum[keep] / fl
@@ -410,6 +417,51 @@ def detect_sources(image_2d, cfg: DetectionConfig | None = None):
         "labels": labels_np,
         "globalrms": float(globalrms),
     }
+
+
+@lru_cache(maxsize=8)
+def _batched_core_fn(cfg: DetectionConfig, mesh):
+    """Jitted vmapped detection core, optionally sharded over the mesh's
+    'data' axis (cached per (cfg, mesh) so repeat calls don't recompile)."""
+
+    def fn(xs):
+        if mesh is not None:
+            from debvader_tpu.parallel import mesh as mesh_lib
+
+            xs = jax.lax.with_sharding_constraint(
+                xs, mesh_lib.batch_sharding(mesh)
+            )
+        return jax.vmap(lambda im: _detect_core(im, cfg))(xs)
+
+    return jax.jit(fn)
+
+
+def detect_sources_batched(
+    tiles, cfg: DetectionConfig | None = None, mesh=None
+) -> list[dict]:
+    """Detection over a stack of same-size tiles (T, F, F): one batched —
+    and, with ``mesh``, 'data'-axis-sharded — device pass for the cores,
+    then the host postprocess per tile.  Returns a list of per-tile result
+    dicts with the ``detect_sources`` schema.  This is how tiled survey
+    fields fan detection out across chips (SURVEY.md §5 long-context row).
+    """
+    cfg = cfg or DetectionConfig()
+    if cfg.use_pallas_filter:
+        # the Pallas filter kernel is written for a single unbatched field
+        return [detect_sources(t, cfg) for t in np.asarray(tiles)]
+    x = jnp.asarray(tiles, jnp.float32)
+    n = x.shape[0]
+    if mesh is not None:
+        pad = (-n) % mesh.shape["data"]
+        if pad:
+            x = jnp.concatenate([x, x[:pad]])
+    labels, is_peak, filt, _, grms = _batched_core_fn(cfg, mesh)(x)
+    labels, is_peak = np.asarray(labels), np.asarray(is_peak)
+    filt, grms = np.asarray(filt), np.asarray(grms)
+    return [
+        _postprocess_core(labels[i], filt[i], is_peak[i], float(grms[i]), cfg)
+        for i in range(n)
+    ]
 
 
 def _clean_pass(ys, xs, peaks, cfg: DetectionConfig) -> np.ndarray:

@@ -178,6 +178,8 @@ class DeblendField:
                 n_samples=self.cfg.epistemic_samples,
                 rng=self._next_rng(),
                 normalise=self.normalise,
+                mesh=self.mesh,
+                apply_fn=self._sharded_apply if self.mesh is not None else None,
             )
             epistemic = np.asarray(jnp.std(samples, axis=0))
             epi_norm = epistemic[..., band].sum(axis=(1, 2)) / np.maximum(

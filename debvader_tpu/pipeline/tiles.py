@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 
 from debvader_tpu.config import DetectionConfig
-from debvader_tpu.ops.detection import detect_sources
+from debvader_tpu.ops.detection import detect_sources_batched
 from debvader_tpu.pipeline.field import DeblendField
 
 __all__ = ["tile_origins", "detect_objects_tiled", "TiledDeblendField"]
@@ -45,12 +45,17 @@ def detect_objects_tiled(
     det_cfg: DetectionConfig | None = None,
     tile: int = 1024,
     overlap: int = 64,
+    mesh=None,
 ) -> np.ndarray:
     """Tiled drop-in for detect_objects: (N, 2) offsets from field center.
 
     Each tile's detections are filtered to its core region
     [origin + overlap/2, origin + tile - overlap/2) (extended to the field
     edge for border tiles), so every source is reported exactly once.
+
+    All tiles run as ONE batched device pass (the detection core is vmapped
+    over the tile stack); with ``mesh`` the stack is sharded over the 'data'
+    axis so detection fans out across chips.
     """
     det_cfg = det_cfg or DetectionConfig()
     img = np.asarray(field_image, np.float32)
@@ -83,11 +88,17 @@ def detect_objects_tiled(
     y_cores = core_bounds(ys)
     x_cores = core_bounds(xs)
 
+    subs = np.stack(
+        [img[oy : oy + tile, ox : ox + tile] for oy in ys for ox in xs]
+    )
+    objs = detect_sources_batched(subs, det_cfg, mesh=mesh)
+
     out = []
+    k = 0
     for oy, (y_lo, y_hi) in zip(ys, y_cores):
         for ox, (x_lo, x_hi) in zip(xs, x_cores):
-            sub = img[oy : oy + tile, ox : ox + tile]
-            obj = detect_sources(sub, det_cfg)
+            obj = objs[k]
+            k += 1
             if len(obj["y"]) == 0:
                 continue
             gy = obj["y"] + oy
@@ -118,6 +129,7 @@ class TiledDeblendField(DeblendField):
             self.det_cfg,
             tile=self.cfg.tile_size,
             overlap=self.cfg.tile_overlap,
+            mesh=self.mesh,
         )
 
     def detect_and_deblend(self, **kwargs):

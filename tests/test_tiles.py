@@ -67,6 +67,53 @@ def test_tiled_on_small_field_falls_back():
     assert len(det) == 1
 
 
+def test_tiled_detection_sharded_matches_unsharded():
+    """The tile stack sharded over the 8-device 'data' axis must produce
+    exactly the serial result (VERDICT r1 item 8)."""
+    from debvader_tpu.parallel import make_mesh
+
+    srcs = [(40.0, 50.0, 3.0), (150.0, 200.0, 2.0), (260.0, 80.0, 4.0),
+            (155.0, 150.0, 2.5)]
+    img = _field(300, srcs)
+    mesh = make_mesh()
+    det_serial = detect_objects_tiled(img, DET, tile=160, overlap=40)
+    det_sharded = detect_objects_tiled(img, DET, tile=160, overlap=40, mesh=mesh)
+    np.testing.assert_array_equal(
+        np.asarray(sorted(map(tuple, det_serial))),
+        np.asarray(sorted(map(tuple, det_sharded))),
+    )
+
+
+def test_tiled_detect_and_deblend_on_mesh():
+    """Full tiled detect + deblend + epistemic sampling with every device
+    pass sharded over the 8-CPU mesh."""
+    from debvader_tpu.parallel import make_mesh
+
+    cfg = ModelConfig(stamp_size=23, nb_of_bands=3, latent_dim=4, filters=(4, 8), kernels=(3, 3))
+    model = DeblenderVAE(cfg)
+    variables = init_vae(model, jax.random.PRNGKey(0))
+    srcs = [(60.0, 70.0, 3.0), (200.0, 150.0, 2.5), (150.0, 240.0, 3.5)]
+    field = _field(300, srcs, bands=3)
+    mesh = make_mesh()
+    tdf = TiledDeblendField(
+        (model, variables),
+        field,
+        cutout_size=23,
+        nb_of_bands=3,
+        cfg=PipelineConfig(cutout_size=23, nb_of_bands=3, tile_size=160, tile_overlap=40),
+        det_cfg=DetectionConfig(thresh=25.0, background_box=32, detection_band=0),
+        mesh=mesh,
+        epistemic_uncertainty_estimation=True,
+    )
+    centers = tdf.detect()
+    assert len(centers) == 3
+    res = tdf.detect_and_deblend()
+    assert len(res) == 3
+    assert np.isfinite(np.stack(res.epistemic_uncertainty)).all()
+    resid = tdf.get_residual_field()
+    assert resid.shape == field.shape and np.isfinite(resid).all()
+
+
 def test_tiled_deblend_field_end_to_end():
     cfg = ModelConfig(stamp_size=23, nb_of_bands=3, latent_dim=4, filters=(4, 8), kernels=(3, 3))
     model = DeblenderVAE(cfg)
