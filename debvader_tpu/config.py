@@ -126,3 +126,7 @@ class PipelineConfig:
     interp_order: int = 3
     tile_size: int = 1024  # tile edge for very large fields
     tile_overlap: int = 64
+    # Per-source pipeline batch: fields with more detections than this are
+    # deblended in chunks so cutouts/forwards never exceed device memory
+    # (a 4k coadd can hold 1e5+ detections; 1e5 x 59x59x6 fp32 is ~8 GB).
+    source_chunk: int = 8192

@@ -75,13 +75,14 @@ def shift_full(img: jax.Array, shift: jax.Array) -> jax.Array:
     return subpixel_shift(img, shift)
 
 
-@partial(jax.jit, static_argnames=("field_size", "order"))
+@partial(jax.jit, static_argnames=("field_size", "order", "chunk"))
 def render_field(
     stamps: jax.Array,
     offsets: jax.Array,
     field_size: int,
     mask: jax.Array | None = None,
     order: int = 1,
+    chunk: int = 1024,
 ) -> jax.Array:
     """Sum of all stamps placed at (center + offset) in a field canvas.
 
@@ -95,13 +96,17 @@ def render_field(
     zero-padded far enough (10 px, pole decay 0.27^10 ~ 2e-6) that the
     local prefilter equals the reference's whole-canvas prefilter.
 
+    The fractional interpolation (spline prefilter + 16 taps — the
+    expensive part) runs vmapped over ``chunk`` sources at a time, so its
+    recursive filters process (chunk, S, B) vectors per step instead of one
+    source's (S, B); only the trivially cheap patch scatter stays
+    sequential in the scan.  ``chunk`` bounds peak memory at
+    chunk * (S + 2*pad)^2 * B floats.
+
     Returns (field_size, field_size, B).
     """
     n, s, _, b = stamps.shape
     pos0 = (field_size - s) // 2  # centered placement (field_deblender.py:72)
-
-    int_off = jnp.floor(offsets).astype(jnp.int32)
-    frac = offsets - int_off  # in [0, 1)
 
     if order == 1:
         interp_pad, interp = 1, subpixel_shift
@@ -117,12 +122,26 @@ def render_field(
     pad = pad_s
     canvas_size = field_size + 2 * pad
 
-    def body(canvas, inputs):
-        stamp, ioff, f, m = inputs
-        stamp_p = jnp.pad(
-            stamp, ((interp_pad, interp_pad), (interp_pad, interp_pad), (0, 0))
+    if mask is None:
+        mask = jnp.ones((n,), bool)
+
+    # Pad the source axis to a whole number of chunks (padded rows masked).
+    chunk = min(chunk, n) if n else 1
+    n_pad = (-n) % chunk
+    if n_pad:
+        stamps = jnp.concatenate(
+            [stamps, jnp.zeros((n_pad, s, s, b), stamps.dtype)]
         )
-        shifted = interp(stamp_p, f)
+        offsets = jnp.concatenate(
+            [offsets, jnp.zeros((n_pad, 2), offsets.dtype)]
+        )
+        mask = jnp.concatenate([mask, jnp.zeros((n_pad,), bool)])
+
+    int_off = jnp.floor(offsets).astype(jnp.int32)
+    frac = (offsets - int_off).astype(jnp.float32)
+
+    def scatter_body(canvas, inputs):
+        shifted, ioff, m = inputs
         yu = pos0 + ioff[0] - interp_pad + pad
         xu = pos0 + ioff[1] - interp_pad + pad
         y = jnp.clip(yu, 0, canvas_size - pad_s)
@@ -136,10 +155,18 @@ def render_field(
         canvas = jax.lax.dynamic_update_slice(canvas, patch + shifted, (y, x, 0))
         return canvas, None
 
-    if mask is None:
-        mask = jnp.ones((n,), bool)
+    def shift_one(stamp, f):
+        stamp_p = jnp.pad(
+            stamp, ((interp_pad, interp_pad), (interp_pad, interp_pad), (0, 0))
+        )
+        return interp(stamp_p, f)
+
     canvas = jnp.zeros((canvas_size, canvas_size, b), stamps.dtype)
-    canvas, _ = jax.lax.scan(
-        body, canvas, (stamps, int_off, frac, mask)
-    )
+    total = stamps.shape[0]
+    for c0 in range(0, total, chunk):
+        sl = slice(c0, c0 + chunk)
+        shifted = jax.vmap(shift_one)(stamps[sl], frac[sl])
+        canvas, _ = jax.lax.scan(
+            scatter_body, canvas, (shifted, int_off[sl], mask[sl])
+        )
     return canvas[pad : pad + field_size, pad : pad + field_size, :]

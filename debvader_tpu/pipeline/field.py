@@ -123,6 +123,39 @@ class DeblendField:
 
         centers = np.asarray(galaxy_distances_to_center, np.float32).reshape(-1, 2)
 
+        # Survey-scale fields can hold 1e5+ sources; materializing every
+        # cutout (N, 59, 59, B) on device at once would exceed HBM, so the
+        # whole per-source pipeline runs in source_chunk batches whose
+        # results merge into one recarray.
+        chunk = self.cfg.source_chunk
+        if cutout_images is None and len(centers) > chunk:
+            parts = []
+            n_chunks = (len(centers) + chunk - 1) // chunk
+            for s0 in range(0, len(centers), chunk):
+                r = self.deblend_field(
+                    centers[s0 : s0 + chunk],
+                    optimise_positions=optimise_positions,
+                    epistemic_criterion=epistemic_criterion,
+                    mse_criterion=mse_criterion,
+                    field_image=field_image,
+                    measure=measure,
+                )
+                if not isinstance(r, dict):
+                    rr = r.copy()
+                    rr.list_idx = rr.list_idx + s0
+                    parts.append(rr)
+            # collapse the sub-calls' counter entries into one per call
+            del self.nb_of_detected_objects[-n_chunks:]
+            deblended = sum(self.nb_of_deblended_galaxies[-n_chunks:])
+            del self.nb_of_deblended_galaxies[-n_chunks:]
+            self.nb_of_detected_objects.append(len(centers))
+            self.nb_of_deblended_galaxies.append(deblended)
+            if not parts:
+                print("No galaxy deblended. End of the iterative procedure.")
+                return empty
+            self.res_deblend = np.hstack(parts).view(np.recarray)
+            return self.res_deblend
+
         if isinstance(cutout_images, np.ndarray):
             cutouts = jnp.asarray(cutout_images, jnp.float32)
             list_idx = np.arange(len(cutouts))

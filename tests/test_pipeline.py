@@ -56,6 +56,35 @@ def test_deblend_field_shapes_and_recarray(tiny_net):
     assert df.nb_of_deblended_galaxies == [3]
 
 
+def test_deblend_field_chunked_matches_unchunked(tiny_net):
+    """Survey-scale chunking (cfg.source_chunk) must produce the identical
+    recarray — same order, values, global list_idx — and one counter entry."""
+    field, centers = _tiny_field(f=101, n_src=7, seed=3)
+    kw = dict(cutout_size=23, nb_of_bands=3)
+    ref = DeblendField(tiny_net, field, cfg=_pipe_cfg(), **kw)
+    res_ref = ref.deblend_field(centers)
+    small = PipelineConfig(cutout_size=23, nb_of_bands=3, epistemic_samples=8,
+                           source_chunk=3)
+    chunked = DeblendField(tiny_net, field, cfg=small, **kw)
+    res_chk = chunked.deblend_field(centers)
+    assert len(res_chk) == len(res_ref)
+    np.testing.assert_array_equal(
+        np.asarray(list(res_chk.list_idx)), np.asarray(list(res_ref.list_idx))
+    )
+    # deterministic columns match exactly; means are sampled-latent
+    # stochastic (rng advances differently per chunk), check finiteness
+    for col in ("cutout_images", "shifts"):
+        a = np.stack(list(res_ref[col]))
+        b = np.stack(list(res_chk[col]))
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
+    assert np.isfinite(np.stack(list(res_chk.output_images_mean))).all()
+    assert chunked.nb_of_detected_objects == [7]
+    assert chunked.nb_of_deblended_galaxies == [7]
+    # rendering consumes the merged recarray
+    resid = chunked.get_residual_field(res_chk)
+    assert np.isfinite(resid).all()
+
+
 def test_deblend_field_border_sources_dropped(tiny_net):
     field, _ = _tiny_field()
     centers = np.array([[0.0, 0.0], [100.0, 100.0]], np.float32)  # 2nd off-field
