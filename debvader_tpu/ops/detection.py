@@ -215,10 +215,22 @@ def _detect_core(image: jax.Array, cfg: DetectionConfig):
     is_peak = mask & (parent == flat_idx)
 
     # --- pointer jumping to the attracting peak --------------------------
-    labels = jnp.where(mask, parent, 0).ravel()
-    n_jumps = int(np.ceil(np.log2(f * f))) + 1
-    for _ in range(n_jumps):
-        labels = labels[labels]
+    # Each iteration doubles the resolved path length, so convergence takes
+    # ceil(log2(longest ascent path)) steps — ~5-6 for real basins.  A
+    # while_loop to the fixpoint (labels[labels] == labels) runs exactly
+    # that many gathers and compiles the body once, instead of unrolling
+    # the log2(F^2) worst case (25 sequential 67 MB gathers at 4k).
+    labels0 = jnp.where(mask, parent, 0).ravel()
+
+    def cond(state):
+        lab, nxt = state
+        return jnp.any(lab != nxt)
+
+    def body(state):
+        _, nxt = state
+        return nxt, nxt[nxt]
+
+    labels, _ = jax.lax.while_loop(cond, body, (labels0, labels0[labels0]))
     labels = jnp.where(mask.ravel(), labels, -1).reshape(f, f)
 
     return labels, is_peak, filt, fore, globalrms
