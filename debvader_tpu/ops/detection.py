@@ -372,16 +372,21 @@ def detect_sources(image_2d, cfg: DetectionConfig | None = None):
     image = jnp.asarray(image_2d, jnp.float32)
     labels, is_peak, filt, fore, globalrms = _detect_core(image, cfg)
     return _postprocess_core(
-        np.asarray(labels), np.asarray(filt), np.asarray(is_peak),
-        float(globalrms), cfg,
+        np.asarray(labels), np.asarray(filt), float(globalrms), cfg
     )
 
 
-def _postprocess_core(labels_np, filt_np, is_peak_np, globalrms, cfg):
+def _postprocess_core(labels_np, filt_np, globalrms, cfg):
     """Host stage after the jitted core: multi-threshold merge, minarea,
     centroids, CLEAN.  Split out so tiled/sharded callers can run the core
-    batched on device and post-process each tile here."""
+    batched on device and post-process each tile here.
+
+    Peaks are derived from the label map itself (a pixel is a peak iff it
+    is its own pointer-jumping fixpoint), so the core's is_peak output
+    never needs a device->host transfer.
+    """
     f = labels_np.shape[0]
+    is_peak_np = labels_np.ravel() == np.arange(f * f)
     # Quantized multi-threshold deblending criterion (sep's
     # deblend_nthresh/deblend_cont) applied to the watershed splits.
     if cfg.threshold_scaling == "matched":
@@ -467,11 +472,11 @@ def detect_sources_batched(
         pad = (-n) % mesh.shape["data"]
         if pad:
             x = jnp.concatenate([x, x[:pad]])
-    labels, is_peak, filt, _, grms = _batched_core_fn(cfg, mesh)(x)
-    labels, is_peak = np.asarray(labels), np.asarray(is_peak)
+    labels, _, filt, _, grms = _batched_core_fn(cfg, mesh)(x)
+    labels = np.asarray(labels)
     filt, grms = np.asarray(filt), np.asarray(grms)
     return [
-        _postprocess_core(labels[i], filt[i], is_peak[i], float(grms[i]), cfg)
+        _postprocess_core(labels[i], filt[i], float(grms[i]), cfg)
         for i in range(n)
     ]
 

@@ -82,6 +82,43 @@ def extract_cutouts(
     return _extract(field, centers, cutout_size)
 
 
+def extract_cutouts_np(field_image, centers, cutout_size: int = 59):
+    """Pure-numpy replica of ``_extract``'s semantics (trunc, clamp, border
+    validity, zeroed-invalid rows) for host-resident fields.
+
+    The scene pipeline uses this for the recarray's cutout copies so they
+    never ride the device->host link (the device extraction still feeds the
+    VAE forward); equality with the jitted path is asserted in
+    tests/test_extraction.py.
+    """
+    import numpy as np
+
+    field = np.asarray(field_image)
+    if field.ndim == 4:
+        field = field[0]
+    if field.dtype == np.float64:
+        field = field.astype(np.float32)  # match jnp.asarray under x64=off
+    field_size = field.shape[0]
+    half = cutout_size // 2
+    fhalf = field_size // 2
+    centers = np.trunc(np.asarray(centers, np.float32)).astype(np.int64)
+    if centers.size == 0:
+        return (
+            np.zeros((0, cutout_size, cutout_size, field.shape[-1]), field.dtype),
+            np.zeros((0,), bool),
+        )
+    starts = centers + (fhalf - half)
+    valid = np.all((starts >= 0) & (starts + cutout_size <= field_size), axis=-1)
+    clamped = np.clip(starts, 0, field_size - cutout_size)
+    out = np.zeros(
+        (len(centers), cutout_size, cutout_size, field.shape[-1]), field.dtype
+    )
+    for i in np.flatnonzero(valid):
+        y, x = clamped[i]
+        out[i] = field[y : y + cutout_size, x : x + cutout_size]
+    return out, valid
+
+
 def extract_cutouts_host(
     field_image,
     field_size=None,

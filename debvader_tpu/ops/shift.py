@@ -26,7 +26,27 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["subpixel_shift", "render_field", "shift_full"]
+__all__ = ["subpixel_shift", "subpixel_shift_const", "render_field", "shift_full"]
+
+
+def subpixel_shift_const(img: jax.Array, shift: jax.Array) -> jax.Array:
+    """``subpixel_shift`` specialized to constant per-image shifts with
+    fractional parts in [0, 1): gather-free — two shifted slices per axis
+    with scalar weights (f, 1 - f), zero padding for the boundary.  This is
+    what the field renderer calls after splitting integer offsets; the
+    generic path's per-pixel clip-gathers dominate on TPU."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h, w, _ = img.shape
+    fy, fx = shift[0], shift[1]
+    p = jnp.pad(img, ((1, 0), (1, 0), (0, 0)))
+    tmp = fy * p[0:h, :, :] + (1.0 - fy) * p[1 : 1 + h, :, :]
+    out = fx * tmp[:, 0:w, :] + (1.0 - fx) * tmp[:, 1 : 1 + w, :]
+    rows = jax.lax.broadcasted_iota(jnp.float32, (h, 1, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (1, w, 1), 1)
+    out = jnp.where((rows >= fy) & (cols >= fx), out, 0.0)
+    return out[..., 0] if squeeze else out
 
 
 def subpixel_shift(img: jax.Array, shift: jax.Array) -> jax.Array:
@@ -109,11 +129,11 @@ def render_field(
     pos0 = (field_size - s) // 2  # centered placement (field_deblender.py:72)
 
     if order == 1:
-        interp_pad, interp = 1, subpixel_shift
+        interp_pad, interp = 1, subpixel_shift_const
     elif order == 3:
-        from debvader_tpu.ops.spline import subpixel_shift_spline
+        from debvader_tpu.ops.spline import subpixel_shift_spline_const
 
-        interp_pad, interp = 10, subpixel_shift_spline
+        interp_pad, interp = 10, subpixel_shift_spline_const
     else:
         raise ValueError(f"unsupported interpolation order {order}")
 

@@ -28,7 +28,7 @@ import pandas as pd
 
 from debvader_tpu.api import deblend, deblend_samples
 from debvader_tpu.config import PipelineConfig
-from debvader_tpu.ops.extraction import extract_cutouts
+from debvader_tpu.ops.extraction import extract_cutouts, extract_cutouts_np
 from debvader_tpu.ops.registration import position_optimization_batch
 from debvader_tpu.ops.shift import render_field
 
@@ -79,6 +79,15 @@ class DeblendField:
         self.mse: list[float] = []
 
     # ------------------------------------------------------------------ rng
+    def _device_field(self, field_np: np.ndarray) -> jax.Array:
+        """Device copy of the field, memoized by identity: iterative
+        deblending re-extracts from the same field every step and the
+        host->device upload of a survey coadd is expensive."""
+        if getattr(self, "_dev_field_src", None) is not field_np:
+            self._dev_field_src = field_np
+            self._dev_field = jnp.asarray(field_np, jnp.float32)
+        return self._dev_field
+
     def _next_rng(self) -> jax.Array:
         self._rng, out = jax.random.split(self._rng)
         return out
@@ -116,7 +125,7 @@ class DeblendField:
         }
 
         if field_image is None:
-            field_image = self.field_image.copy()
+            field_image = self.field_image  # read-only below
         else:
             field_image = np.asarray(field_image, np.float32)
         field_size = field_image.shape[1]
@@ -156,12 +165,17 @@ class DeblendField:
             self.res_deblend = np.hstack(parts).view(np.recarray)
             return self.res_deblend
 
+        cut_np = None
         if isinstance(cutout_images, np.ndarray):
             cutouts = jnp.asarray(cutout_images, jnp.float32)
             list_idx = np.arange(len(cutouts))
         else:
+            # Extraction runs on the (cached) device-resident field so the
+            # forward's input never rides the slow host<->device link; the
+            # recarray's cutout copies are sliced host-side for the same
+            # reason (no 59x59xB-per-source download).
             all_cutouts, valid = extract_cutouts(
-                field_image,
+                self._device_field(field_image),
                 field_size,
                 centers,
                 self.cutout_size,
@@ -180,6 +194,9 @@ class DeblendField:
                 )
             list_idx = np.flatnonzero(valid)
             cutouts = jnp.asarray(all_cutouts)[jnp.asarray(list_idx)]
+            cut_np = extract_cutouts_np(field_image, centers, self.cutout_size)[
+                0
+            ][list_idx].astype(np.float32)
 
         n = len(list_idx)
         if n == 0:
@@ -226,7 +243,8 @@ class DeblendField:
         w = self.cfg.mse_window
         c0 = self.cutout_size // 2 - w
         c1 = self.cutout_size // 2 + w
-        cut_np = np.asarray(cutouts)
+        if cut_np is None:
+            cut_np = np.asarray(cutouts)
         mse_center = np.mean(
             np.square(cut_np[:, c0:c1, c0:c1] - means[:, c0:c1, c0:c1]),
             axis=(1, 2, 3),

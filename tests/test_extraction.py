@@ -85,3 +85,17 @@ def test_empty_centers(rng_np):
     cutouts, valid = extract_cutouts(image, 15, np.zeros((0, 2)), 5, 3)
     assert cutouts.shape == (0, 5, 5, 3)
     assert valid.shape == (0,)
+
+
+def test_host_extraction_equals_device(rng_np):
+    """extract_cutouts_np (the recarray's no-transfer path) must equal the
+    jitted device extraction bit-for-bit, including border and fractional
+    semantics."""
+    from debvader_tpu.ops.extraction import extract_cutouts_np
+
+    image = _field(rng_np)
+    centers = [[-4.7, -3.2], [0.0, 0.0], [6.0, 6.0], [-99.0, 0.0], [5.0, -5.0]]
+    dev_c, dev_v = extract_cutouts(image, 15, centers, cutout_size=5, nb_of_bands=3)
+    host_c, host_v = extract_cutouts_np(image, centers, cutout_size=5)
+    np.testing.assert_array_equal(np.asarray(dev_v), host_v)
+    np.testing.assert_array_equal(np.asarray(dev_c), host_c)

@@ -27,6 +27,16 @@ def test_subpixel_shift_matches_scipy_order1(rng_np):
         np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_subpixel_shift_const_matches_generic(rng_np):
+    from debvader_tpu.ops.shift import subpixel_shift_const
+
+    img = rng_np.random((21, 23)).astype(np.float32)
+    for s in [(0.0, 0.0), (0.4, 0.9), (0.999, 0.0), (0.0, 0.5)]:
+        got = np.asarray(subpixel_shift_const(jnp.asarray(img), jnp.asarray(s)))
+        gen = np.asarray(subpixel_shift(jnp.asarray(img), jnp.asarray(s)))
+        np.testing.assert_allclose(got, gen, atol=1e-6)
+
+
 def test_subpixel_shift_close_to_spline3_on_smooth_images():
     # SURVEY.md §7 hard part (c): bilinear vs the reference's cubic spline on
     # PSF-smooth profiles.  Measured: <= ~2.6e-2 of unit peak at half-pixel

@@ -26,6 +26,22 @@ def test_shift_matches_scipy_order3():
         np.testing.assert_allclose(got, want, atol=5e-6)
 
 
+def test_const_shift_matches_generic_and_scipy():
+    """The gather-free constant-shift specialization (the render path) must
+    equal the generic per-pixel-gather path — and scipy — for fractional
+    shifts in [0, 1), including both endpoints' neighborhoods."""
+    from debvader_tpu.ops.spline import subpixel_shift_spline_const
+
+    rng = np.random.default_rng(3)
+    img = rng.random((31, 29)).astype(np.float32)
+    for s in [(0.0, 0.0), (0.5, 0.25), (0.999, 0.001), (0.0, 0.7), (0.3, 0.0)]:
+        got = np.asarray(subpixel_shift_spline_const(jnp.asarray(img), jnp.asarray(s)))
+        gen = np.asarray(subpixel_shift_spline(jnp.asarray(img), jnp.asarray(s)))
+        want = scipy.ndimage.shift(img, s, order=3, mode="constant")
+        np.testing.assert_allclose(got, gen, atol=5e-6)
+        np.testing.assert_allclose(got, want, atol=5e-6)
+
+
 def test_shift_multichannel():
     rng = np.random.default_rng(2)
     img = rng.random((15, 15, 4)).astype(np.float32)
