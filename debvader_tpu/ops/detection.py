@@ -382,11 +382,11 @@ def _postprocess_core(labels_np, filt_np, globalrms, cfg):
     batched on device and post-process each tile here.
 
     Peaks are derived from the label map itself (a pixel is a peak iff it
-    is its own pointer-jumping fixpoint), so the core's is_peak output
-    never needs a device->host transfer.
+    is its own pointer-jumping fixpoint; merged-away peaks lose that
+    property during relabeling), so the core's is_peak output never needs
+    a device->host transfer.
     """
     f = labels_np.shape[0]
-    is_peak_np = labels_np.ravel() == np.arange(f * f)
     # Quantized multi-threshold deblending criterion (sep's
     # deblend_nthresh/deblend_cont) applied to the watershed splits.
     if cfg.threshold_scaling == "matched":
@@ -399,20 +399,22 @@ def _postprocess_core(labels_np, filt_np, globalrms, cfg):
     labels_np = _multi_threshold_merge(labels_np, filt_np, thr_val, cfg)
     # (merged-away peaks keep their is_peak flag but own zero pixels, so the
     # minarea filter below drops them automatically)
-    mask_np = labels_np >= 0
 
+    # Segment statistics over the masked pixels only (a few percent of the
+    # field) — full-size index grids / where-passes over every pixel used
+    # to dominate the host stage.
     flat_labels = labels_np.ravel()
-    weights = np.where(mask_np, np.maximum(filt_np, 0.0), 0.0).ravel()
-    yy, xx = np.mgrid[:f, :f]
     size = f * f
-    safe = np.where(flat_labels >= 0, flat_labels, 0)
+    sel = np.flatnonzero(flat_labels >= 0)
+    lab_sel = flat_labels[sel]
+    w_sel = np.maximum(filt_np.ravel()[sel], 0.0)
 
-    area = np.bincount(safe, weights=mask_np.ravel().astype(np.float64), minlength=size)
-    flux = np.bincount(safe, weights=weights, minlength=size)
-    ysum = np.bincount(safe, weights=weights * yy.ravel(), minlength=size)
-    xsum = np.bincount(safe, weights=weights * xx.ravel(), minlength=size)
+    area = np.bincount(lab_sel, minlength=size).astype(np.float64)
+    flux = np.bincount(lab_sel, weights=w_sel, minlength=size)
+    ysum = np.bincount(lab_sel, weights=w_sel * (sel // f), minlength=size)
+    xsum = np.bincount(lab_sel, weights=w_sel * (sel % f), minlength=size)
 
-    peak_flat = np.flatnonzero(np.asarray(is_peak_np).ravel())
+    peak_flat = sel[lab_sel == sel]  # pointer-jumping fixpoints = peaks
     keep = peak_flat[area[peak_flat] >= cfg.minarea]
     fl = np.maximum(flux[keep], 1e-30)
     ys = ysum[keep] / fl

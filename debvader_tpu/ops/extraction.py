@@ -110,12 +110,15 @@ def extract_cutouts_np(field_image, centers, cutout_size: int = 59):
     starts = centers + (fhalf - half)
     valid = np.all((starts >= 0) & (starts + cutout_size <= field_size), axis=-1)
     clamped = np.clip(starts, 0, field_size - cutout_size)
-    out = np.zeros(
-        (len(centers), cutout_size, cutout_size, field.shape[-1]), field.dtype
-    )
-    for i in np.flatnonzero(valid):
-        y, x = clamped[i]
-        out[i] = field[y : y + cutout_size, x : x + cutout_size]
+    # One fancy-indexed gather over a sliding-window view: orders of
+    # magnitude faster than a per-source strided-slice copy loop on
+    # survey-scale fields.
+    windows = np.lib.stride_tricks.sliding_window_view(
+        field, (cutout_size, cutout_size), axis=(0, 1)
+    )  # (F-cs+1, F-cs+1, B, cs, cs) view, no copy
+    out = windows[clamped[:, 0], clamped[:, 1]].transpose(0, 2, 3, 1)
+    out = np.ascontiguousarray(out)
+    out[~valid] = 0.0
     return out, valid
 
 
