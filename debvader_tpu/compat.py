@@ -24,7 +24,7 @@ Signature differences from the reference are documented on each function
 """
 
 from debvader_tpu.api import deblend
-from debvader_tpu.models.vae import create_model_vae
+from debvader_tpu.models.vae import create_decoder, create_encoder, create_model_vae
 from debvader_tpu.ops.detection import detect_objects
 from debvader_tpu.ops.extraction import extract_cutouts_host as extract_cutouts
 from debvader_tpu.ops.normalize import denormalize_non_linear, normalize_non_linear
@@ -47,6 +47,8 @@ __all__ = [
     "mse",
     "vae_loss",
     "create_model_vae",
+    "create_encoder",
+    "create_decoder",
     "load_deblender",
     "train_network",
     "train_deblender",

@@ -39,7 +39,15 @@ from debvader_tpu.models.distributions import (
 )
 from debvader_tpu.models.layers import ConvTranspose2DTF, PReLU
 
-__all__ = ["Encoder", "Decoder", "DeblenderVAE", "create_model_vae", "init_vae"]
+__all__ = [
+    "Encoder",
+    "Decoder",
+    "DeblenderVAE",
+    "create_model_vae",
+    "create_encoder",
+    "create_decoder",
+    "init_vae",
+]
 
 
 class Encoder(nn.Module):
@@ -169,6 +177,19 @@ def create_model_vae(cfg: ModelConfig | None = None) -> DeblenderVAE:
     ``apply(..., method=...)`` instead of the reference's four Keras Models.
     """
     return DeblenderVAE(cfg or ModelConfig())
+
+
+def create_encoder(cfg: ModelConfig | None = None) -> Encoder:
+    """Standalone encoder module (reference create_encoder,
+    model/model.py:61-100): x -> flat MVN params.  Feed its output through
+    ``distributions.softplus_tril`` for the latent posterior."""
+    return Encoder(cfg or ModelConfig())
+
+
+def create_decoder(cfg: ModelConfig | None = None) -> Decoder:
+    """Standalone decoder module (reference create_decoder,
+    model/model.py:103-161): z -> PixelNormal over stamps."""
+    return Decoder(cfg or ModelConfig())
 
 
 def init_vae(

@@ -214,21 +214,59 @@ def _detect_core(image: jax.Array, cfg: DetectionConfig):
     parent = jnp.where(mask, best_idx, -1)
     is_peak = mask & (parent == flat_idx)
 
-    # --- pointer jumping to the attracting peak --------------------------
-    # Each iteration doubles the resolved path length, so convergence takes
-    # ceil(log2(longest ascent path)) steps — ~5-6 for real basins.  A
-    # while_loop to the fixpoint (labels[labels] == labels) runs exactly
-    # that many gathers and compiles the body once, instead of unrolling
-    # the log2(F^2) worst case (25 sequential 67 MB gathers at 4k).
-    labels0 = jnp.where(mask, parent, 0).ravel()
+    # --- resolve each pixel's attracting peak ----------------------------
+    # TPU gathers over the full field are ~100x slower than shifted
+    # selects, so the ascent-path resolution runs as direction-coded
+    # neighbor selects: parent is always one of the 9 neighbors, so
+    # cur[parent] is a 9-way select over shifted copies of cur — pure VPU
+    # traffic, one ancestor step per iteration.  Real basins are tens of
+    # pixels wide; a capped while_loop to the fixpoint handles them, and a
+    # gather-based pointer-jumping loop (log-step, expensive per step)
+    # finishes any pathological longer-than-cap path.
+    # direction code per pixel from the already-resolved parent index
+    iy = jax.lax.broadcasted_iota(jnp.int32, (f, f), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (f, f), 1)
+    pdy = jnp.clip(parent // f - iy, -1, 1)
+    pdx = jnp.clip(parent % f - ix, -1, 1)
+    dir_code = jnp.where(mask, (pdy + 1) * 3 + (pdx + 1), 4)  # 4 = self
+
+    offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+    def select_step(cur):
+        curp = jnp.pad(cur, 1)  # parents never point outside the mask
+        acc = cur
+        for code, (dy, dx) in enumerate(offsets):
+            if dy == 0 and dx == 0:
+                continue
+            shifted = curp[1 + dy : 1 + dy + f, 1 + dx : 1 + dx + f]
+            acc = jnp.where(dir_code == code, shifted, acc)
+        return acc
+
+    cur0 = jnp.where(mask, parent, 0)
+    max_select_iters = 128
+
+    def sel_cond(state):
+        cur, nxt, it = state
+        return jnp.any(cur != nxt) & (it < max_select_iters)
+
+    def sel_body(state):
+        _, nxt, it = state
+        return nxt, select_step(nxt), it + 1
+
+    cur, nxt, _ = jax.lax.while_loop(
+        sel_cond, sel_body, (cur0, select_step(cur0), jnp.int32(0))
+    )
+
+    # gather-based pointer jumping finishes any path longer than the cap
+    labels0 = nxt.ravel()
 
     def cond(state):
-        lab, nxt = state
-        return jnp.any(lab != nxt)
+        lab, nxt_ = state
+        return jnp.any(lab != nxt_)
 
     def body(state):
-        _, nxt = state
-        return nxt, nxt[nxt]
+        _, nxt_ = state
+        return nxt_, nxt_[nxt_]
 
     labels, _ = jax.lax.while_loop(cond, body, (labels0, labels0[labels0]))
     labels = jnp.where(mask.ravel(), labels, -1).reshape(f, f)
