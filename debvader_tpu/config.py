@@ -101,6 +101,10 @@ class DetectionConfig:
     # Use the fused Pallas matched-filter kernel instead of the XLA conv
     # chain (kernels/matched_filter.py; measured at parity on v5e).
     use_pallas_filter: bool = False
+    # Fused Pallas label-resolution step (kernels/label_select.py) for the
+    # watershed ascent iteration — one VMEM pass per step vs the XLA select
+    # chain's ~5x-off-roofline traffic.  TPU only; XLA path elsewhere.
+    use_pallas_select: bool = True
     # SExtractor-style CLEAN pass: drop detections whose filtered peak is
     # explained by a brighter neighbor's PSF wings (sep.extract defaults to
     # clean=True, clean_param=1.0, which the reference inherits).

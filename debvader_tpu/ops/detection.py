@@ -242,34 +242,37 @@ def _detect_core(image: jax.Array, cfg: DetectionConfig):
             acc = jnp.where(dir_code == code, shifted, acc)
         return acc
 
+    # The ascent forest is acyclic (strict (value, -index) order), so the
+    # select iteration reaches its fixpoint in max-path-length steps —
+    # uncapped while_loops terminate by construction.  No gather fallback:
+    # a single full-field gather costs ~250 ms on TPU, and under vmap even
+    # a lax.cond-guarded one always executes (cond batches to select).
     cur0 = jnp.where(mask, parent, 0)
-    max_select_iters = 128
 
-    def sel_cond(state):
-        cur, nxt, it = state
-        return jnp.any(cur != nxt) & (it < max_select_iters)
+    if cfg.use_pallas_select and jax.default_backend() == "tpu":
+        # Fused Pallas chunks: K resolution steps per VMEM pass (the XLA
+        # loop pays an HBM round trip + convergence reduction per step).
+        from debvader_tpu.kernels.label_select import label_select_fixpoint
 
-    def sel_body(state):
-        _, nxt, it = state
-        return nxt, select_step(nxt), it + 1
+        pad_to = (-f) % 128
+        cur_p = jnp.pad(cur0, ((0, pad_to), (0, pad_to)))
+        dir_p = jnp.pad(dir_code, ((0, pad_to), (0, pad_to)), constant_values=4)
+        nxt, _ = label_select_fixpoint(cur_p, dir_p, rows=128)
+        nxt = nxt[:f, :f]
+    else:
+        def sel_cond(state):
+            cur, nxt = state
+            return jnp.any(cur != nxt)
 
-    cur, nxt, _ = jax.lax.while_loop(
-        sel_cond, sel_body, (cur0, select_step(cur0), jnp.int32(0))
-    )
+        def sel_body(state):
+            _, nxt = state
+            return nxt, select_step(nxt)
 
-    # gather-based pointer jumping finishes any path longer than the cap
-    labels0 = nxt.ravel()
+        cur, nxt = jax.lax.while_loop(
+            sel_cond, sel_body, (cur0, select_step(cur0))
+        )
 
-    def cond(state):
-        lab, nxt_ = state
-        return jnp.any(lab != nxt_)
-
-    def body(state):
-        _, nxt_ = state
-        return nxt_, nxt_[nxt_]
-
-    labels, _ = jax.lax.while_loop(cond, body, (labels0, labels0[labels0]))
-    labels = jnp.where(mask.ravel(), labels, -1).reshape(f, f)
+    labels = jnp.where(mask.ravel(), nxt.ravel(), -1).reshape(f, f)
 
     return labels, is_peak, filt, fore, globalrms
 

@@ -70,3 +70,94 @@ def test_detection_with_pallas_filter_backend():
     b_ = detect_sources(img, DetectionConfig(thresh=25.0, use_pallas_filter=True))
     assert len(a_["y"]) == len(b_["y"]) == 2
     np.testing.assert_allclose(sorted(a_["y"]), sorted(b_["y"]), atol=0.01)
+
+
+def _xla_select_step(cur, dir_code):
+    """Reference 9-way shifted select (ops/detection.py XLA path)."""
+    f = cur.shape[0]
+    curp = np.pad(cur, 1)
+    acc = cur.copy()
+    offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    for code, (dy, dx) in enumerate(offsets):
+        if dy == 0 and dx == 0:
+            continue
+        shifted = curp[1 + dy : 1 + dy + f, 1 + dx : 1 + dx + f]
+        acc = np.where(dir_code == code, shifted, acc)
+    return acc
+
+
+def _random_parent_field(f, seed):
+    """(parent, dir) built exactly like the detection core: steepest 3x3
+    neighbor of a random value field with (value, -index) tiebreak — an
+    acyclic ascent forest (arbitrary random directions would contain
+    cycles, which real parents cannot)."""
+    rng = np.random.default_rng(seed)
+    val = rng.random((f, f)).astype(np.float32)
+    vp = np.pad(val, 1, constant_values=-np.inf)
+    idx = np.arange(f * f).reshape(f, f)
+    ip = np.pad(idx, 1, constant_values=0)
+    best_v, best_i = val.copy(), idx.copy()
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nv = vp[1 + dy : 1 + dy + f, 1 + dx : 1 + dx + f]
+            ni = ip[1 + dy : 1 + dy + f, 1 + dx : 1 + dx + f]
+            better = (nv > best_v) | ((nv == best_v) & (ni < best_i))
+            best_v = np.where(better, nv, best_v)
+            best_i = np.where(better, ni, best_i)
+    parent = best_i.astype(np.int32)
+    iy, ix = np.mgrid[:f, :f]
+    dir_code = ((parent // f - iy + 1) * 3 + (parent % f - ix + 1)).astype(
+        np.int32
+    )
+    return parent, dir_code
+
+
+@pytest.mark.parametrize("f,rows", [(128, 64), (256, 128)])
+def test_label_select_step_parity(f, rows):
+    from debvader_tpu.kernels.label_select import label_select_step
+
+    cur, dir_code = _random_parent_field(f, seed=2)
+    want = _xla_select_step(cur, dir_code)
+    got = np.asarray(
+        label_select_step(
+            jnp.asarray(cur), jnp.asarray(dir_code), rows=rows, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_label_select_fixpoint_matches_gather_resolution():
+    from debvader_tpu.kernels.label_select import label_select_fixpoint
+
+    f = 128
+    cur, dir_code = _random_parent_field(f, seed=5)
+    labels, n_chunks = label_select_fixpoint(
+        jnp.asarray(cur), jnp.asarray(dir_code), rows=64, interpret=True
+    )
+    # gather-based fixpoint of the same (acyclic) parent map
+    want = cur.ravel().copy()
+    for _ in range(16):
+        want = want[want]
+    assert (want == want[want]).all()  # reached the true fixpoint
+    np.testing.assert_array_equal(np.asarray(labels).ravel(), want)
+    assert int(n_chunks) >= 1
+
+
+@pytest.mark.parametrize("steps", [2, 4, 16])
+def test_label_select_multi_step_parity(steps):
+    from debvader_tpu.kernels.label_select import label_select_step
+
+    f = 128
+    cur, dir_code = _random_parent_field(f, seed=9)
+    want = cur
+    for _ in range(steps):
+        want = _xla_select_step(want, dir_code)
+    got = np.asarray(
+        label_select_step(
+            jnp.asarray(cur), jnp.asarray(dir_code), rows=64, steps=steps,
+            interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
