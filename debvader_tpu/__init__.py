@@ -37,7 +37,8 @@ __all__ = [
 
 
 def __getattr__(name):
-    # Scene pipeline classes import lazily to keep bare model use light.
+    # Scene pipeline classes and ops import lazily to keep bare model use
+    # light.
     if name in ("DeblendField", "IterativeDeblendField", "TiledDeblendField"):
         from debvader_tpu.pipeline import field, iterative, tiles
 
@@ -46,4 +47,16 @@ def __getattr__(name):
             "IterativeDeblendField": iterative.IterativeDeblendField,
             "TiledDeblendField": tiles.TiledDeblendField,
         }[name]
+    if name == "detect_objects":
+        from debvader_tpu.ops.detection import detect_objects
+
+        return detect_objects
+    if name == "detect_objects_tiled":
+        from debvader_tpu.pipeline.tiles import detect_objects_tiled
+
+        return detect_objects_tiled
+    if name == "extract_cutouts":
+        from debvader_tpu.ops.extraction import extract_cutouts
+
+        return extract_cutouts
     raise AttributeError(name)

@@ -63,6 +63,7 @@ def deblend(
     rng: jax.Array | None = None,
     z_mode: str = "sample",
     pad_to_bucket: bool = True,
+    fetch_mean: bool = True,
 ):
     """Drop-in equivalent of the reference deblend().
 
@@ -75,6 +76,9 @@ def deblend(
         z_mode: 'sample' (reference behavior) or 'mean' (deterministic)
         pad_to_bucket: round the batch up to a fixed bucket so repeated calls
             reuse one compiled program instead of recompiling per batch size
+        fetch_mean: download the mean images to host (reference contract);
+            False returns (None, dist) and leaves everything on device so
+            callers batching several fetches avoid an extra full transfer
 
     returns (mean_images, distribution) like the reference
     (deblend_cutout/deblender.py:24).
@@ -92,7 +96,7 @@ def deblend(
     dist = deblend_jit(model, variables, x, rng, normalise=normalise, z_mode=z_mode)
     if m != n:
         dist = PixelNormal(dist.loc[:n], dist.scale[:n])
-    return np.asarray(dist.mean()), dist
+    return (np.asarray(dist.mean()) if fetch_mean else None), dist
 
 
 def deblend_samples(

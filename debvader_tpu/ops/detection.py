@@ -482,7 +482,19 @@ def _postprocess_core(labels_np, filt_np, globalrms, cfg):
 @lru_cache(maxsize=8)
 def _batched_core_fn(cfg: DetectionConfig, mesh):
     """Jitted vmapped detection core, optionally sharded over the mesh's
-    'data' axis (cached per (cfg, mesh) so repeat calls don't recompile)."""
+    'data' axis (cached per (cfg, mesh) so repeat calls don't recompile).
+
+    Besides the dense per-pixel maps this also emits a device-side COO
+    compaction of the masked pixels — (global flat index, label, filtered
+    value) plus a count — sized at 1/8 of the stack.  The host postprocess
+    only ever reads masked pixels (a few percent of the field), so
+    downloading the compacted triples instead of the dense label/filt maps
+    cuts the device->host traffic ~100x; on a 4k coadd the dense transfer
+    was 95% of steady-state detection wall time.  The compaction is fused
+    across the whole tile stack (one count sync + three bulk copies —
+    per-tile downloads pay a host-link round trip each); a stack whose
+    masked count overflows the buffer falls back to the dense download.
+    """
 
     def fn(xs):
         if mesh is not None:
@@ -491,9 +503,36 @@ def _batched_core_fn(cfg: DetectionConfig, mesh):
             xs = jax.lax.with_sharding_constraint(
                 xs, mesh_lib.batch_sharding(mesh)
             )
-        return jax.vmap(lambda im: _detect_core(im, cfg))(xs)
+        labels, is_peak, filt, fore, grms = jax.vmap(
+            lambda im: _detect_core(im, cfg)
+        )(xs)
+        # ONE compaction over the whole tile stack (global flat indices):
+        # per-tile COO downloads pay a host-link round trip per tile; the
+        # fused version costs one count sync plus three bulk copies.
+        k = _compact_k(xs.shape[-1]) * xs.shape[0]
+        idx, lab, val, count = _compact_masked(labels, filt, k)
+        return labels, filt, grms, idx, lab, val, count
 
     return jax.jit(fn)
+
+
+def _compact_k(f: int) -> int:
+    """Static COO-compaction capacity for an (f, f) tile."""
+    return max(4096, (f * f) // 8)
+
+
+def _compact_masked(labels: jax.Array, filt: jax.Array, k: int):
+    """Device-side COO view of the masked pixels of a tile or tile stack:
+    (idx, lab, val, count) where idx is the flat (ascending) pixel index
+    into ``labels.ravel()`` (-1 past count)."""
+    flat = labels.ravel()
+    mask = flat >= 0
+    count = mask.sum(dtype=jnp.int32)
+    idx = jnp.flatnonzero(mask, size=k, fill_value=-1).astype(jnp.int32)
+    safe = jnp.maximum(idx, 0)
+    lab = jnp.where(idx >= 0, flat[safe], -1)
+    val = jnp.where(idx >= 0, filt.ravel()[safe], 0.0)
+    return idx, lab, val, count
 
 
 def detect_sources_batched(
@@ -506,8 +545,9 @@ def detect_sources_batched(
     fields fan detection out across chips (SURVEY.md §5 long-context row).
     """
     cfg = cfg or DetectionConfig()
-    if cfg.use_pallas_filter:
-        # the Pallas filter kernel is written for a single unbatched field
+    if cfg.use_pallas_filter or int(np.prod(np.shape(tiles))) >= 2**31:
+        # the Pallas filter kernel is written for a single unbatched field;
+        # stacks past 2^31 pixels would overflow the int32 COO flat index
         return [detect_sources(t, cfg) for t in np.asarray(tiles)]
     x = jnp.asarray(tiles, jnp.float32)
     n = x.shape[0]
@@ -515,13 +555,42 @@ def detect_sources_batched(
         pad = (-n) % mesh.shape["data"]
         if pad:
             x = jnp.concatenate([x, x[:pad]])
-    labels, _, filt, _, grms = _batched_core_fn(cfg, mesh)(x)
-    labels = np.asarray(labels)
-    filt, grms = np.asarray(filt), np.asarray(grms)
-    return [
-        _postprocess_core(labels[i], filt[i], float(grms[i]), cfg)
-        for i in range(n)
-    ]
+    labels, filt, grms, idx, lab, val, count = _batched_core_fn(cfg, mesh)(x)
+    f = x.shape[-1]
+    k = _compact_k(f) * x.shape[0]
+    c = int(count)  # one scalar sync for the whole stack
+    grms = np.asarray(grms)
+
+    if c > k:
+        # Compaction overflow (pathologically dense mask): dense download.
+        labels_np, filt_np = jax.device_get((labels, filt))
+        return [
+            _postprocess_core(labels_np[i], filt_np[i], float(grms[i]), cfg)
+            for i in range(n)
+        ]
+
+    # Three bulk D2H copies of the [:count] COO slices for ALL tiles
+    # (global ascending flat indices), then per-tile dense reconstruction.
+    idx_np, lab_np, val_np = jax.device_get((idx[:c], lab[:c], val[:c]))
+    per_tile = f * f
+    bounds = np.searchsorted(idx_np, np.arange(n + 1) * per_tile)
+    out = []
+    for i in range(n):
+        s, e = bounds[i], bounds[i + 1]
+        dense_lab = np.full(per_tile, -1, np.int32)
+        dense_val = np.zeros(per_tile, np.float32)
+        local = idx_np[s:e] - i * per_tile
+        dense_lab[local] = lab_np[s:e]
+        dense_val[local] = val_np[s:e]
+        out.append(
+            _postprocess_core(
+                dense_lab.reshape(f, f),
+                dense_val.reshape(f, f),
+                float(grms[i]),
+                cfg,
+            )
+        )
+    return out
 
 
 def _clean_pass(ys, xs, peaks, cfg: DetectionConfig) -> np.ndarray:

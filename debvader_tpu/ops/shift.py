@@ -26,7 +26,21 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["subpixel_shift", "subpixel_shift_const", "render_field", "shift_full"]
+__all__ = [
+    "subpixel_shift",
+    "subpixel_shift_const",
+    "render_field",
+    "render_pad",
+    "shift_full",
+]
+
+
+def render_pad(stamp_size: int, order: int = 1) -> int:
+    """Canvas padding render_field uses for (stamp_size, order) — exposed so
+    incremental callers (crop=False) can crop the final canvas themselves:
+    ``canvas[pad : pad + field_size, pad : pad + field_size]``."""
+    interp_pad = 1 if order == 1 else 10
+    return stamp_size + 2 * interp_pad
 
 
 def subpixel_shift_const(img: jax.Array, shift: jax.Array) -> jax.Array:
@@ -95,7 +109,7 @@ def shift_full(img: jax.Array, shift: jax.Array) -> jax.Array:
     return subpixel_shift(img, shift)
 
 
-@partial(jax.jit, static_argnames=("field_size", "order", "chunk"))
+@partial(jax.jit, static_argnames=("field_size", "order", "chunk", "crop"))
 def render_field(
     stamps: jax.Array,
     offsets: jax.Array,
@@ -103,6 +117,8 @@ def render_field(
     mask: jax.Array | None = None,
     order: int = 1,
     chunk: int = 1024,
+    canvas: jax.Array | None = None,
+    crop: bool = True,
 ) -> jax.Array:
     """Sum of all stamps placed at (center + offset) in a field canvas.
 
@@ -123,7 +139,13 @@ def render_field(
     sequential in the scan.  ``chunk`` bounds peak memory at
     chunk * (S + 2*pad)^2 * B floats.
 
-    Returns (field_size, field_size, B).
+    ``canvas``/``crop`` support incremental survey-scale rendering: pass
+    ``crop=False`` to get the padded accumulation canvas back, feed it to
+    the next call's ``canvas``, and crop the final one with ``render_pad``
+    (this is how deblend_and_render assembles a residual for more sources
+    than fit on device at once, without a host round trip per chunk).
+
+    Returns (field_size, field_size, B), or the padded canvas if crop=False.
     """
     n, s, _, b = stamps.shape
     pos0 = (field_size - s) // 2  # centered placement (field_deblender.py:72)
@@ -181,7 +203,8 @@ def render_field(
         )
         return interp(stamp_p, f)
 
-    canvas = jnp.zeros((canvas_size, canvas_size, b), stamps.dtype)
+    if canvas is None:
+        canvas = jnp.zeros((canvas_size, canvas_size, b), stamps.dtype)
     total = stamps.shape[0]
     for c0 in range(0, total, chunk):
         sl = slice(c0, c0 + chunk)
@@ -189,4 +212,6 @@ def render_field(
         canvas, _ = jax.lax.scan(
             scatter_body, canvas, (shifted, int_off[sl], mask[sl])
         )
+    if not crop:
+        return canvas
     return canvas[pad : pad + field_size, pad : pad + field_size, :]

@@ -12,6 +12,7 @@ sharded on the mesh; batches are placed with ``shard_batch``.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -113,7 +114,9 @@ def make_sharded_train_step(
 
     batch_s = mesh_lib.batch_sharding(mesh)
 
-    @jax.jit
+    # State buffers are donated (updated in place on each chip) — keep only
+    # the returned state, as make_train_step documents.
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, x: jax.Array, y: jax.Array):
         x = jax.lax.with_sharding_constraint(x, batch_s)
         y = jax.lax.with_sharding_constraint(y, batch_s)

@@ -163,6 +163,8 @@ class DeblendField:
                 print("No galaxy deblended. End of the iterative procedure.")
                 return empty
             self.res_deblend = np.hstack(parts).view(np.recarray)
+            # chunked results only live on host; drop the last chunk's cache
+            self._render_cache = None
             return self.res_deblend
 
         cut_np = None
@@ -207,12 +209,19 @@ class DeblendField:
 
         # One batched VAE forward for all sources (hot path).
         if self.mesh is not None:
-            means, dist = self._deblend_sharded(cutouts)
+            _, dist = self._deblend_sharded(cutouts)
         else:
-            means, dist = deblend(
-                self.net, cutouts, normalise=self.normalise, rng=self._next_rng()
+            _, dist = deblend(
+                self.net,
+                cutouts,
+                normalise=self.normalise,
+                rng=self._next_rng(),
+                fetch_mean=False,
             )
-        stddevs = np.asarray(dist.stddev())
+        # One async D2H batch for both maps (the copies overlap; fetching
+        # them with separate np.asarray calls serializes two full-batch
+        # transfers over the host link).
+        means, stddevs = jax.device_get((dist.mean(), dist.stddev()))
 
         # r band where available (reference hardcodes channel 2,
         # optimization.py:34, field_deblender.py:314-316)
@@ -221,6 +230,7 @@ class DeblendField:
         # Epistemic uncertainty: all sources x all replicas in one device
         # loop (replaces the 100-forwards-per-source loop at
         # field_deblender.py:303-316).
+        epi_dev = None
         if self.epistemic_uncertainty_estimation:
             samples = deblend_samples(
                 self.net,
@@ -231,7 +241,8 @@ class DeblendField:
                 mesh=self.mesh,
                 apply_fn=self._sharded_apply if self.mesh is not None else None,
             )
-            epistemic = np.asarray(jnp.std(samples, axis=0))
+            epi_dev = jnp.std(samples, axis=0)
+            epistemic = np.asarray(epi_dev)
             epi_norm = epistemic[..., band].sum(axis=(1, 2)) / np.maximum(
                 means[..., band].sum(axis=(1, 2)), 1e-30
             )
@@ -285,14 +296,205 @@ class DeblendField:
         if measure:
             from debvader_tpu.ops.measure import measure_batch
 
-            m = measure_batch(jnp.asarray(means), jnp.asarray(stddevs))
+            # the distribution maps are still device-resident; no re-upload
+            m = measure_batch(dist.mean(), dist.stddev())
             res["flux"] = list(np.asarray(m["flux"]))
             res["centroid"] = list(np.asarray(m["centroid"]))
             res["ellipticity"] = list(np.asarray(m["ellipticity"]))
             res["snr"] = list(np.asarray(m["snr"]))
 
         self.res_deblend = pd.DataFrame(res).to_records(index=False)
+        # Keep the stamp maps device-resident for the render stage: the
+        # residual/predicted assemblies would otherwise re-upload the whole
+        # (N, S, S, B) batch the device just produced.
+        self._render_cache = {
+            "token": self.res_deblend,
+            "output_images_mean": dist.mean(),
+            "output_images_stddev": dist.stddev(),
+            "epistemic_uncertainty": epi_dev,
+        }
         return self.res_deblend
+
+    def deblend_and_render(
+        self,
+        galaxy_distances_to_center,
+        optimise_positions: bool = False,
+        epistemic_criterion: float = 100.0,
+        mse_criterion: float = 100.0,
+        measure: bool = False,
+        return_model: bool = False,
+    ):
+        """Survey-scale serving path: deblend every source AND assemble the
+        residual in one device-resident pipeline.
+
+        ``deblend_field`` honors the reference recarray contract — every
+        source's mean/stddev stamp comes back to the host — which at survey
+        scale means O(N x S^2 x B) of device->host traffic that dwarfs the
+        compute (a 4k coadd's ~4k sources are ~650 MB of maps).  Production
+        field serving wants the *products*: a catalog and the residual
+        (and/or model) field.  This driver keeps every stamp on device:
+        sources stream through in ``source_chunk`` batches, each chunk's
+        means render straight into the padded field canvas
+        (ops/shift.py render_field crop=False), and only per-source scalars
+        (positions, mse, flags, optional photometry) plus the final field
+        ever cross the host link.
+
+        Returns (catalog_recarray, residual_field) with residual_field
+        shaped like field_image; ``return_model=True`` appends the rendered
+        model field: (catalog, residual, model).  The catalog holds the
+        deblend_field columns minus the stamp images.
+        """
+        from debvader_tpu.ops.shift import render_pad
+
+        field_image = self.field_image
+        field_size = self.field_size
+        centers = np.asarray(galaxy_distances_to_center, np.float32).reshape(-1, 2)
+        field_dev = self._device_field(field_image)
+        band = 2 if self.nb_of_bands > 2 else 0
+
+        canvas = None
+        cols: dict[str, list] = {
+            k: []
+            for k in (
+                "shifts",
+                "list_idx",
+                "galaxy_distances_to_center_x",
+                "galaxy_distances_to_center_y",
+                "mse_center",
+                "epistemic_norm",
+                "passed_cuts",
+            )
+        }
+        if measure:
+            for k in ("flux", "centroid", "ellipticity", "snr"):
+                cols[k] = []
+
+        w = self.cfg.mse_window
+        c0 = self.cutout_size // 2 - w
+        c1 = self.cutout_size // 2 + w
+        chunk = self.cfg.source_chunk
+        n_deblended = 0
+
+        for s0 in range(0, len(centers), chunk):
+            part = centers[s0 : s0 + chunk]
+            all_cutouts, valid = extract_cutouts(
+                field_dev, field_size, part, self.cutout_size, self.nb_of_bands
+            )
+            valid = np.asarray(valid)
+            if not valid.any():
+                continue
+            list_idx = np.flatnonzero(valid)
+            cutouts = jnp.asarray(all_cutouts)[jnp.asarray(list_idx)]
+            n = len(list_idx)
+
+            if self.mesh is not None:
+                _, dist = self._deblend_sharded(cutouts)
+            else:
+                _, dist = deblend(
+                    self.net,
+                    cutouts,
+                    normalise=self.normalise,
+                    rng=self._next_rng(),
+                    fetch_mean=False,
+                )
+            means_dev = dist.mean()
+
+            mse_center = jnp.mean(
+                jnp.square(
+                    cutouts[:, c0:c1, c0:c1] - means_dev[:, c0:c1, c0:c1]
+                ),
+                axis=(1, 2, 3),
+            )
+
+            if self.epistemic_uncertainty_estimation:
+                samples = deblend_samples(
+                    self.net,
+                    cutouts,
+                    n_samples=self.cfg.epistemic_samples,
+                    rng=self._next_rng(),
+                    normalise=self.normalise,
+                    mesh=self.mesh,
+                    apply_fn=self._sharded_apply if self.mesh is not None else None,
+                )
+                epi = jnp.std(samples, axis=0)
+                epi_norm_dev = epi[..., band].sum(axis=(1, 2)) / jnp.maximum(
+                    means_dev[..., band].sum(axis=(1, 2)), 1e-30
+                )
+            else:
+                epi_norm_dev = jnp.zeros((n,), jnp.float32)
+
+            dets = part[list_idx]
+            if optimise_positions:
+                shifts_dev = position_optimization_batch(
+                    field_dev[0, :, :, band],
+                    means_dev[..., band],
+                    jnp.asarray(dets),
+                    bound=self.cfg.position_bounds,
+                    iterations=self.cfg.gn_iterations,
+                )
+            else:
+                shifts_dev = jnp.zeros((n, 2), jnp.float32)
+
+            offs_dev = jnp.asarray(dets) + shifts_dev
+            canvas = render_field(
+                means_dev,
+                offs_dev,
+                field_size,
+                order=self.cfg.interp_order,
+                canvas=canvas,
+                crop=False,
+            )
+
+            # Per-source scalars only — a few KB per chunk over the link.
+            fetch = {
+                "mse_center": mse_center,
+                "epistemic_norm": epi_norm_dev,
+                "shifts": shifts_dev,
+            }
+            if measure:
+                from debvader_tpu.ops.measure import measure_batch
+
+                fetch.update(measure_batch(means_dev, dist.stddev()))
+            got = jax.device_get(fetch)
+
+            passed = ~(
+                (got["epistemic_norm"] > epistemic_criterion)
+                | (got["mse_center"] > mse_criterion)
+            )
+            cols["shifts"].extend(list(got["shifts"]))
+            cols["list_idx"].extend(list(s0 + list_idx))
+            cols["galaxy_distances_to_center_x"].extend(list(dets[:, 0]))
+            cols["galaxy_distances_to_center_y"].extend(list(dets[:, 1]))
+            cols["mse_center"].extend(list(got["mse_center"]))
+            cols["epistemic_norm"].extend(list(got["epistemic_norm"]))
+            cols["passed_cuts"].extend(list(passed))
+            if measure:
+                for k in ("flux", "centroid", "ellipticity", "snr"):
+                    cols[k].extend(list(got[k]))
+            n_deblended += n
+
+        self.nb_of_detected_objects.append(len(centers))
+        self.nb_of_deblended_galaxies.append(n_deblended)
+
+        if n_deblended == 0:
+            print("No galaxy deblended. End of the iterative procedure.")
+            if return_model:
+                return None, self.field_image.copy(), np.zeros_like(self.field_image[0])
+            return None, self.field_image.copy()
+
+        pad = render_pad(self.cutout_size, self.cfg.interp_order)
+        model_dev = canvas[pad : pad + field_size, pad : pad + field_size, :]
+        residual_dev = field_dev[0] - model_dev
+        if return_model:
+            residual, model = jax.device_get((residual_dev, model_dev))
+        else:
+            residual = np.asarray(residual_dev)
+        catalog = pd.DataFrame(cols).to_records(index=False)
+        residual_field = self.field_image.copy()
+        residual_field[0] = residual
+        if return_model:
+            return catalog, residual_field, model
+        return catalog, residual_field
 
     def _deblend_sharded(self, cutouts):
         """Batch-sharded forward over the mesh's 'data' axis (pads the
@@ -319,10 +521,21 @@ class DeblendField:
         from debvader_tpu.models.distributions import PixelNormal
 
         dist = PixelNormal(dist.loc[:n], dist.scale[:n])
-        return np.asarray(dist.mean()), dist
+        return None, dist
 
     # ------------------------------------------------------------ rendering
     def _stacked(self, res_deblend, key):
+        """Stamp stack for rendering.  If ``res_deblend`` is the recarray
+        the last deblend_field call produced, the device-resident copy is
+        returned (render_field consumes it directly, skipping a full
+        host->device re-upload of the stamp batch)."""
+        cache = getattr(self, "_render_cache", None)
+        if (
+            cache is not None
+            and res_deblend is cache["token"]
+            and cache.get(key) is not None
+        ):
+            return cache[key]
         return np.stack([np.asarray(row[key]) for row in res_deblend]).astype(
             np.float32
         )
@@ -340,6 +553,8 @@ class DeblendField:
         spline shifts."""
         if res_deblend is None:
             res_deblend = self.res_deblend
+        if isinstance(res_deblend, dict):  # deblend_field's empty early-exit
+            res_deblend = None
         deblended_image = self.field_image.copy()
         if res_deblend is not None and len(res_deblend):
             means = self._stacked(res_deblend, "output_images_mean")
@@ -358,6 +573,8 @@ class DeblendField:
         (field_deblender.py:99-189), one render per quantity."""
         if res_deblend is None:
             res_deblend = self.res_deblend
+        if isinstance(res_deblend, dict):  # deblend_field's empty early-exit
+            res_deblend = None
         shape = (self.field_size, self.field_size, self.nb_of_bands)
         out = {
             "predicted_mean_field": np.zeros(shape, np.float32),

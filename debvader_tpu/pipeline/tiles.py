@@ -21,6 +21,7 @@ multi-device field deblending (the 'data' mesh axis).
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 from debvader_tpu.config import DetectionConfig
@@ -88,8 +89,12 @@ def detect_objects_tiled(
     y_cores = core_bounds(ys)
     x_cores = core_bounds(xs)
 
-    subs = np.stack(
-        [img[oy : oy + tile, ox : ox + tile] for oy in ys for ox in xs]
+    # Upload the field once and slice the (overlapping) tiles on device —
+    # a host-side stack re-copies the overlap regions and ships ~1.5x the
+    # field over the host link.
+    img_dev = jnp.asarray(img)
+    subs = jnp.stack(
+        [img_dev[oy : oy + tile, ox : ox + tile] for oy in ys for ox in xs]
     )
     objs = detect_sources_batched(subs, det_cfg, mesh=mesh)
 
@@ -137,3 +142,12 @@ class TiledDeblendField(DeblendField):
         if len(centers) == 0:
             return None
         return self.deblend_field(centers, **kwargs)
+
+    def detect_deblend_render(self, **kwargs):
+        """End-to-end survey serving: tiled detection, then the device-
+        resident deblend_and_render driver — only the catalog scalars and
+        the final residual/model field cross the host link."""
+        centers = self.detect()
+        if len(centers) == 0:
+            return None, self.field_image.copy()
+        return self.deblend_and_render(centers, **kwargs)

@@ -17,6 +17,7 @@ step.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, Iterable
 
 import jax
@@ -129,7 +130,14 @@ def _kl_weight_at(step, train_cfg: TrainConfig):
 def make_train_step(
     model: DeblenderVAE, train_cfg: TrainConfig | None = None
 ) -> Callable:
-    """Build the jitted (state, x, y) -> (state, metrics) training step."""
+    """Build the jitted (state, x, y) -> (state, metrics) training step.
+
+    The input state's buffers are donated to the step: params, Adam moments
+    and BN stats are updated in place on device instead of being copied
+    every step (~100 MB/step for the full model), so the old state object
+    must not be read after the call — keep only the returned state (the
+    epoch loops here do exactly that).
+    """
     train_cfg = train_cfg or TrainConfig()
 
     def loss_fn(params, batch_stats, x, y, rng, step):
@@ -152,7 +160,7 @@ def make_train_step(
         )
         return terms["loss"], (terms, mutated["batch_stats"])
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, x: jax.Array, y: jax.Array):
         rng, new_rng = jax.random.split(state.rng)
         grads, (terms, new_bs) = jax.grad(loss_fn, has_aux=True)(

@@ -72,6 +72,10 @@ def main():
     res = stage("deblend_field", lambda: tdf.deblend_field(centers))
     print(f"  deblended: {len(res.cutout_images)}", flush=True)
     stage("residual_field", lambda: tdf.get_residual_field(res))
+    # fused serving path: stamps stay on device, only catalog + final field
+    # cross the host link
+    cat_res = stage("deblend_and_render", lambda: tdf.deblend_and_render(centers))
+    print(f"  catalog rows: {len(cat_res[0])}", flush=True)
 
 
 if __name__ == "__main__":

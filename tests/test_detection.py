@@ -226,3 +226,31 @@ def test_deblend_cont_flux_criterion():
     hi = detect_sources(img, DetectionConfig(thresh=25.0, deblend_cont=0.5))
     assert len(hi["y"]) <= len(lo["y"])
     assert len(hi["y"]) == 1
+
+
+def test_batched_sparse_download_matches_dense():
+    """detect_sources_batched ships masked pixels as device-compacted COO
+    triples (ops/detection.py _compact_masked); results must be
+    bit-identical to the per-tile dense path, including on tiles whose
+    masked-pixel count overflows the compaction buffer (dense fallback)."""
+    from debvader_tpu.ops.detection import _compact_k, detect_sources_batched
+
+    rng = np.random.default_rng(3)
+    sparse_tile = _field(256, noise=0.01, back=0.0, seed=3)
+    for _ in range(6):
+        cy, cx = rng.integers(12, 244, 2)
+        _add_gauss(sparse_tile, cy, cx, rng.uniform(0.5, 2.0))
+    # nearly-all-bright tile: masked count far exceeds _compact_k(256)
+    dense_tile = sparse_tile + 5.0 * np.abs(
+        rng.normal(size=(256, 256)).astype(np.float32)
+    )
+    tiles = np.stack([sparse_tile, dense_tile])
+    cfg = DetectionConfig()
+    batched = detect_sources_batched(tiles, cfg)
+    assert (batched[1]["labels"] >= 0).sum() > _compact_k(256)  # overflow hit
+    for i in range(2):
+        single = detect_sources(tiles[i], cfg)
+        np.testing.assert_array_equal(single["labels"], batched[i]["labels"])
+        np.testing.assert_allclose(single["y"], batched[i]["y"])
+        np.testing.assert_allclose(single["x"], batched[i]["x"])
+        np.testing.assert_allclose(single["flux"], batched[i]["flux"])

@@ -268,3 +268,51 @@ def test_deblend_field_with_measurements(tiny_net):
     assert np.asarray(res[0]["flux"]).shape == (3,)
     assert np.asarray(res[0]["ellipticity"]).shape == (3, 2)
     assert np.isfinite(np.asarray(res[0]["snr"])).all()
+
+
+def test_deblend_and_render_matches_two_stage_path(tiny_net):
+    """The fused survey driver (stamps never leave the device) must produce
+    the same residual as deblend_field + get_residual_field, and a catalog
+    carrying the same per-source columns minus the stamp images."""
+    field, centers = _tiny_field()
+    a = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    res = a.deblend_field(centers)
+    residual_ref = a.get_residual_field(res)
+
+    b = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    catalog, residual = b.deblend_and_render(centers)
+    np.testing.assert_allclose(residual, residual_ref, atol=1e-6)
+    assert len(catalog) == len(res)
+    np.testing.assert_array_equal(catalog.list_idx, res.list_idx)
+    np.testing.assert_allclose(
+        catalog.galaxy_distances_to_center_x, res.galaxy_distances_to_center_x
+    )
+    assert "output_images_mean" not in catalog.dtype.names
+    assert catalog.passed_cuts.all()
+
+    # chunked streaming (source_chunk=2 forces 2 chunks) renders the same
+    # canvas incrementally
+    cfg_small = PipelineConfig(cutout_size=23, nb_of_bands=3, source_chunk=2)
+    c = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=cfg_small)
+    cat2, residual2 = c.deblend_and_render(centers)
+    assert len(cat2) == len(res)
+    assert residual2.shape == field.shape
+    assert np.isfinite(residual2).all()
+
+    # return_model: field == residual + model wherever stamps landed
+    d = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    _, residual3, model = d.deblend_and_render(centers, return_model=True)
+    np.testing.assert_allclose(residual3[0] + model, field[0], atol=1e-5)
+
+
+def test_deblend_and_render_measure_and_epistemic(tiny_net):
+    field, centers = _tiny_field()
+    df = DeblendField(
+        tiny_net, field, cutout_size=23, nb_of_bands=3,
+        epistemic_uncertainty_estimation=True, cfg=_pipe_cfg(),
+    )
+    catalog, residual = df.deblend_and_render(centers, measure=True)
+    for col in ("flux", "centroid", "ellipticity", "snr", "epistemic_norm"):
+        assert col in catalog.dtype.names
+    assert (catalog.epistemic_norm > 0).all()
+    assert np.isfinite(residual).all()
