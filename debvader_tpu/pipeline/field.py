@@ -346,10 +346,54 @@ class DeblendField:
         """
         from debvader_tpu.ops.shift import render_pad
 
-        field_image = self.field_image
         field_size = self.field_size
+        field_dev = self._device_field(self.field_image)
+        cols, model_dev, n_deblended = self._stream_deblend(
+            field_dev,
+            galaxy_distances_to_center,
+            optimise_positions=optimise_positions,
+            epistemic_criterion=epistemic_criterion,
+            mse_criterion=mse_criterion,
+            measure=measure,
+        )
+
+        if n_deblended == 0:
+            print("No galaxy deblended. End of the iterative procedure.")
+            if return_model:
+                return None, self.field_image.copy(), np.zeros_like(self.field_image[0])
+            return None, self.field_image.copy()
+
+        residual_dev = field_dev[0] - model_dev
+        if return_model:
+            residual, model = jax.device_get((residual_dev, model_dev))
+        else:
+            residual = np.asarray(residual_dev)
+        catalog = pd.DataFrame(cols).to_records(index=False)
+        residual_field = self.field_image.copy()
+        residual_field[0] = residual
+        if return_model:
+            return catalog, residual_field, model
+        return catalog, residual_field
+
+    def _stream_deblend(
+        self,
+        field_dev,
+        galaxy_distances_to_center,
+        optimise_positions: bool = False,
+        epistemic_criterion: float = 100.0,
+        mse_criterion: float = 100.0,
+        measure: bool = False,
+    ):
+        """Streaming core of deblend_and_render: chunks of sources run
+        extract -> forward -> incremental canvas render against the
+        device-resident ``field_dev`` (1, F, F, B).  Returns
+        (catalog column dict, cropped model field on device | None,
+        n_deblended); only per-source scalars cross the host link.
+        """
+        from debvader_tpu.ops.shift import render_pad
+
+        field_size = field_dev.shape[1]
         centers = np.asarray(galaxy_distances_to_center, np.float32).reshape(-1, 2)
-        field_dev = self._device_field(field_image)
         band = 2 if self.nb_of_bands > 2 else 0
 
         canvas = None
@@ -477,24 +521,11 @@ class DeblendField:
         self.nb_of_deblended_galaxies.append(n_deblended)
 
         if n_deblended == 0:
-            print("No galaxy deblended. End of the iterative procedure.")
-            if return_model:
-                return None, self.field_image.copy(), np.zeros_like(self.field_image[0])
-            return None, self.field_image.copy()
+            return cols, None, 0
 
         pad = render_pad(self.cutout_size, self.cfg.interp_order)
         model_dev = canvas[pad : pad + field_size, pad : pad + field_size, :]
-        residual_dev = field_dev[0] - model_dev
-        if return_model:
-            residual, model = jax.device_get((residual_dev, model_dev))
-        else:
-            residual = np.asarray(residual_dev)
-        catalog = pd.DataFrame(cols).to_records(index=False)
-        residual_field = self.field_image.copy()
-        residual_field[0] = residual
-        if return_model:
-            return catalog, residual_field, model
-        return catalog, residual_field
+        return cols, model_dev, n_deblended
 
     def _deblend_sharded(self, cutouts):
         """Batch-sharded forward over the mesh's 'data' axis (pads the

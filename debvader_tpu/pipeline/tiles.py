@@ -59,7 +59,11 @@ def detect_objects_tiled(
     axis so detection fans out across chips.
     """
     det_cfg = det_cfg or DetectionConfig()
-    img = np.asarray(field_image, np.float32)
+    # A device-resident field (e.g. the running residual of the streaming
+    # iterative deblender) is sliced on device — never forced through the
+    # host link just to detect on it.
+    on_device = isinstance(field_image, jnp.ndarray)
+    img = field_image if on_device else np.asarray(field_image, np.float32)
     if img.ndim == 4:
         img = img[0]
     if img.ndim == 3:
@@ -71,7 +75,7 @@ def detect_objects_tiled(
     if tile >= f:
         from debvader_tpu.ops.detection import detect_objects
 
-        return detect_objects(img, det_cfg)
+        return detect_objects(np.asarray(img), det_cfg)
 
     ys = tile_origins(f, tile, overlap)
     xs = tile_origins(f, tile, overlap)

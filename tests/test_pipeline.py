@@ -316,3 +316,42 @@ def test_deblend_and_render_measure_and_epistemic(tiny_net):
         assert col in catalog.dtype.names
     assert (catalog.epistemic_norm > 0).all()
     assert np.isfinite(residual).all()
+
+
+def test_iterative_deblend_and_render_streaming(tiny_net):
+    """The device-resident iterative driver detects on the running device
+    residual, accumulates a catalog with an iteration column, and
+    terminates by the reference's strictly-more rule (plus zero-detection
+    exit)."""
+    from debvader_tpu.config import DetectionConfig
+
+    field, centers = _tiny_field()
+    df = IterativeDeblendField(
+        tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg()
+    )
+    det_cfg = DetectionConfig(thresh=25.0, threshold_scaling="matched")
+    catalog, residual = df.iterative_deblend_and_render(det_cfg=det_cfg)
+    assert residual.shape == field.shape
+    assert np.isfinite(residual).all()
+    if catalog is not None:
+        assert "iteration" in catalog.dtype.names
+        assert catalog.iteration.min() == 0
+        assert len(catalog) == sum(df.nb_of_deblended_galaxies)
+        # list_idx offsets are cumulative and unique within an iteration
+        it0 = catalog[catalog.iteration == 0]
+        assert len(set(it0.list_idx)) == len(it0)
+
+    # seeding step 0 with known centers reproduces deblend_and_render's
+    # first-step residual when later steps find nothing
+    df2 = IterativeDeblendField(
+        tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg()
+    )
+    cat2, res2 = df2.iterative_deblend_and_render(
+        galaxy_distances_to_center=centers,
+        det_cfg=DetectionConfig(thresh=1e6, threshold_scaling="matched"),
+        max_iterations=1,
+    )
+    df3 = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    cat3, res3 = df3.deblend_and_render(centers)
+    np.testing.assert_allclose(res2, res3, atol=1e-6)
+    assert len(cat2) == len(cat3)
