@@ -521,6 +521,11 @@ def _compact_k(f: int) -> int:
     return max(4096, (f * f) // 8)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _compact_masked_jit(labels: jax.Array, filt: jax.Array, k: int):
+    return _compact_masked(labels, filt, k)
+
+
 def _compact_masked(labels: jax.Array, filt: jax.Array, k: int):
     """Device-side COO view of the masked pixels of a tile or tile stack:
     (idx, lab, val, count) where idx is the flat (ascending) pixel index
@@ -562,12 +567,12 @@ def detect_sources_batched(
     grms = np.asarray(grms)
 
     if c > k:
-        # Compaction overflow (pathologically dense mask): dense download.
-        labels_np, filt_np = jax.device_get((labels, filt))
-        return [
-            _postprocess_core(labels_np[i], filt_np[i], float(grms[i]), cfg)
-            for i in range(n)
-        ]
+        # Compaction overflow (dense mask, e.g. a low threshold admitting
+        # noise peaks): the maps are still on device, so re-compact with a
+        # buffer sized to the now-known count (rounded up to a power of two
+        # to bound recompiles) — still ~8x less traffic than dense maps.
+        k = 1 << (c - 1).bit_length()
+        idx, lab, val, _ = _compact_masked_jit(labels, filt, k=k)
 
     # Three bulk D2H copies of the [:count] COO slices for ALL tiles
     # (global ascending flat indices), then per-tile dense reconstruction.
