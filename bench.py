@@ -31,6 +31,9 @@ BATCH = 4096
 def main():
     from debvader_tpu.config import ModelConfig
     from debvader_tpu.models.vae import DeblenderVAE, init_vae
+    from debvader_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # repeated runs skip the slow first compile
 
     model = DeblenderVAE(ModelConfig(dtype="bfloat16"))
     variables = init_vae(model, jax.random.PRNGKey(0))

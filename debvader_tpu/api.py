@@ -141,25 +141,11 @@ def deblend_samples(
             return deblend_jit(
                 model, variables, xx, key, normalise=normalise, z_mode="sample"
             ).loc
-        from debvader_tpu.models.distributions import PixelNormal
-        from debvader_tpu.ops.normalize import (
-            denormalize_distribution,
-            normalize_non_linear,
-        )
-        from debvader_tpu.parallel.sharded import shard_batch
+        from debvader_tpu.parallel.sharded import sharded_forward
 
-        m = xx.shape[0]
-        if normalise:
-            xx = normalize_non_linear(xx)
-        pad = (-m) % mesh.shape["data"] if mesh is not None else 0
-        if pad:
-            xx = jnp.concatenate([xx, jnp.zeros((pad,) + xx.shape[1:], xx.dtype)])
-        if mesh is not None:
-            xx = shard_batch(xx, mesh)
-        dist = apply_fn(variables, xx, key)
-        if normalise:
-            dist = denormalize_distribution(dist)
-        return dist.loc[:m]
+        return sharded_forward(
+            apply_fn, variables, xx, key, mesh, normalise=normalise
+        ).loc
 
     reps_per_chunk = max(max_chunk // max(n, 1), 1)
     outs = []

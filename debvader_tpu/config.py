@@ -134,3 +134,7 @@ class PipelineConfig:
     # deblended in chunks so cutouts/forwards never exceed device memory
     # (a 4k coadd can hold 1e5+ detections; 1e5 x 59x59x6 fp32 is ~8 GB).
     source_chunk: int = 8192
+    # HBM budget for deblend_field's device-resident render cache (mean +
+    # stddev + epistemic stamp maps kept for a following residual/predicted
+    # render).  Larger results skip the cache rather than pin gigabytes.
+    render_cache_bytes: int = 1 << 30

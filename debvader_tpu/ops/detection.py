@@ -438,8 +438,6 @@ def _postprocess_core(labels_np, filt_np, globalrms, cfg):
         knorm = 1.0
     thr_val = cfg.thresh * float(globalrms) * knorm
     labels_np = _multi_threshold_merge(labels_np, filt_np, thr_val, cfg)
-    # (merged-away peaks keep their is_peak flag but own zero pixels, so the
-    # minarea filter below drops them automatically)
 
     # Segment statistics over the masked pixels only (a few percent of the
     # field) — full-size index grids / where-passes over every pixel used
@@ -550,9 +548,14 @@ def detect_sources_batched(
     fields fan detection out across chips (SURVEY.md §5 long-context row).
     """
     cfg = cfg or DetectionConfig()
-    if cfg.use_pallas_filter or int(np.prod(np.shape(tiles))) >= 2**31:
+    shape = np.shape(tiles)
+    n_padded = shape[0]
+    if mesh is not None:
+        n_padded += (-shape[0]) % mesh.shape["data"]
+    if cfg.use_pallas_filter or n_padded * int(np.prod(shape[1:])) >= 2**31:
         # the Pallas filter kernel is written for a single unbatched field;
-        # stacks past 2^31 pixels would overflow the int32 COO flat index
+        # stacks past 2^31 pixels (after mesh padding) would overflow the
+        # int32 COO flat index
         return [detect_sources(t, cfg) for t in np.asarray(tiles)]
     x = jnp.asarray(tiles, jnp.float32)
     n = x.shape[0]

@@ -29,11 +29,43 @@ __all__ = [
     "create_sharded_train_state",
     "make_sharded_train_step",
     "make_sharded_apply",
+    "sharded_forward",
 ]
 
 
 def shard_batch(batch: jax.Array, mesh) -> jax.Array:
     return jax.device_put(batch, mesh_lib.batch_sharding(mesh))
+
+
+def sharded_forward(apply_fn, variables, x, rng, mesh, normalise: bool = False):
+    """One mesh-sharded deblend forward with the full pre/post pipeline:
+    optional normalize -> pad the batch to a multiple of the 'data' axis ->
+    shard -> apply -> optional delta-method denormalize -> un-pad.
+
+    The single place this logic lives — DeblendField's sharded path and
+    deblend_samples' epistemic fan-out both call it, so padding/
+    normalization semantics cannot drift apart.  ``apply_fn`` comes from
+    ``make_sharded_apply``.  Returns the PixelNormal over the original
+    ``x.shape[0]`` rows.
+    """
+    import jax.numpy as jnp
+
+    from debvader_tpu.models.distributions import PixelNormal
+    from debvader_tpu.ops.normalize import (
+        denormalize_distribution,
+        normalize_non_linear,
+    )
+
+    n = x.shape[0]
+    if normalise:
+        x = normalize_non_linear(x)
+    pad = (-n) % mesh.shape["data"]
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+    dist = apply_fn(variables, shard_batch(x, mesh), rng)
+    if normalise:
+        dist = denormalize_distribution(dist)
+    return PixelNormal(dist.loc[:n], dist.scale[:n])
 
 
 def create_sharded_train_state(

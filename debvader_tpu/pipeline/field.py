@@ -80,11 +80,17 @@ class DeblendField:
 
     # ------------------------------------------------------------------ rng
     def _device_field(self, field_np: np.ndarray) -> jax.Array:
-        """Device copy of the field, memoized by identity: iterative
-        deblending re-extracts from the same field every step and the
-        host->device upload of a survey coadd is expensive."""
-        if getattr(self, "_dev_field_src", None) is not field_np:
-            self._dev_field_src = field_np
+        """Device copy of the field, memoized: iterative deblending
+        re-extracts from the same field every step and the host->device
+        upload of a survey coadd is expensive.  Keyed on array identity
+        plus a strided-sample checksum so in-place edits of the same
+        ndarray (e.g. ``df.field_image[0] += ...``) invalidate the cache
+        instead of silently reusing stale device contents."""
+        flat = field_np.reshape(-1)
+        probe = flat[:: max(1, flat.size // 65536)]
+        key = (id(field_np), field_np.shape, float(probe.sum()), float(probe[-1]))
+        if getattr(self, "_dev_field_key", None) != key:
+            self._dev_field_key = key
             self._dev_field = jnp.asarray(field_np, jnp.float32)
         return self._dev_field
 
@@ -306,14 +312,26 @@ class DeblendField:
         self.res_deblend = pd.DataFrame(res).to_records(index=False)
         # Keep the stamp maps device-resident for the render stage: the
         # residual/predicted assemblies would otherwise re-upload the whole
-        # (N, S, S, B) batch the device just produced.
-        self._render_cache = {
-            "token": self.res_deblend,
-            "output_images_mean": dist.mean(),
-            "output_images_stddev": dist.stddev(),
-            "epistemic_uncertainty": epi_dev,
-        }
+        # (N, S, S, B) batch the device just produced.  Capped so a huge
+        # chunk cannot pin gigabytes of HBM past the call (the host copies
+        # in the recarray remain the source of truth either way); call
+        # drop_render_cache() to release it early.
+        cache_bytes = 3 * means.nbytes
+        if cache_bytes <= self.cfg.render_cache_bytes:
+            self._render_cache = {
+                "token": self.res_deblend,
+                "output_images_mean": dist.mean(),
+                "output_images_stddev": dist.stddev(),
+                "epistemic_uncertainty": epi_dev,
+            }
+        else:
+            self._render_cache = None
         return self.res_deblend
+
+    def drop_render_cache(self) -> None:
+        """Release the device-resident stamp maps deblend_field cached for
+        rendering (they are re-uploaded from the recarray if needed)."""
+        self._render_cache = None
 
     def deblend_and_render(
         self,
@@ -344,9 +362,6 @@ class DeblendField:
         model field: (catalog, residual, model).  The catalog holds the
         deblend_field columns minus the stamp images.
         """
-        from debvader_tpu.ops.shift import render_pad
-
-        field_size = self.field_size
         field_dev = self._device_field(self.field_image)
         cols, model_dev, n_deblended = self._stream_deblend(
             field_dev,
@@ -530,28 +545,16 @@ class DeblendField:
     def _deblend_sharded(self, cutouts):
         """Batch-sharded forward over the mesh's 'data' axis (pads the
         batch to a multiple of the axis size, unpads after)."""
-        from debvader_tpu.ops.normalize import (
-            denormalize_distribution,
-            normalize_non_linear,
-        )
-        from debvader_tpu.parallel.sharded import shard_batch
+        from debvader_tpu.parallel.sharded import sharded_forward
 
-        n = cutouts.shape[0]
-        dp = self.mesh.shape["data"]
-        pad = (-n) % dp
-        x = jnp.asarray(cutouts, jnp.float32)
-        if self.normalise:
-            x = normalize_non_linear(x)
-        if pad:
-            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
-        dist = self._sharded_apply(
-            self.net[1], shard_batch(x, self.mesh), self._next_rng()
+        dist = sharded_forward(
+            self._sharded_apply,
+            self.net[1],
+            jnp.asarray(cutouts, jnp.float32),
+            self._next_rng(),
+            self.mesh,
+            normalise=self.normalise,
         )
-        if self.normalise:
-            dist = denormalize_distribution(dist)
-        from debvader_tpu.models.distributions import PixelNormal
-
-        dist = PixelNormal(dist.loc[:n], dist.scale[:n])
         return None, dist
 
     # ------------------------------------------------------------ rendering

@@ -141,7 +141,6 @@ class IterativeDeblendField(DeblendField):
         Returns (catalog_recarray, residual_field); the catalog gains an
         ``iteration`` column (0-based step index).
         """
-        import jax
         import jax.numpy as jnp
         import pandas as pd
 

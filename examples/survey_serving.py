@@ -43,16 +43,19 @@ def main():
     print(f"detections: {len(centers)}")
     df = dt.DeblendField(net, field)
     catalog, residual = df.deblend_and_render(centers, measure=True)
-    print(
-        f"deblend_and_render: {len(catalog)} rows, columns "
-        f"{catalog.dtype.names}, residual rms "
-        f"{np.sqrt(np.mean(residual**2)):.4f}"
-    )
+    if catalog is None:
+        print("deblend_and_render: no sources survived")
+    else:
+        print(
+            f"deblend_and_render: {len(catalog)} rows, columns "
+            f"{catalog.dtype.names}, residual rms "
+            f"{np.sqrt(np.mean(residual**2)):.4f}"
+        )
 
     # --- tiled driver (the 4k-coadd path; tiles trivially cover 259) ------
     tdf = dt.TiledDeblendField(net, field)
     cat_t, res_t = tdf.detect_deblend_render()
-    print(f"detect_deblend_render: {len(cat_t)} rows")
+    print(f"detect_deblend_render: {0 if cat_t is None else len(cat_t)} rows")
 
     # --- iterative: re-detect on the device-resident residual -------------
     idf = dt.IterativeDeblendField(net, field)

@@ -20,6 +20,9 @@ import jax
 from debvader_tpu.config import DetectionConfig, ModelConfig, PipelineConfig
 from debvader_tpu.models.vae import DeblenderVAE, init_vae
 from debvader_tpu.pipeline.tiles import TiledDeblendField, detect_objects_tiled
+from debvader_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def build_coadd(f=4096, n_src=4000, bands=6, noise=0.004, seed=0):

@@ -26,6 +26,9 @@ import jax.numpy as jnp
 from debvader_tpu.config import ModelConfig, TrainConfig
 from debvader_tpu.models.vae import DeblenderVAE
 from debvader_tpu.training.train import create_train_state, make_train_step
+from debvader_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def measure(dtype: str, batch: int) -> float:

@@ -355,3 +355,19 @@ def test_iterative_deblend_and_render_streaming(tiny_net):
     cat3, res3 = df3.deblend_and_render(centers)
     np.testing.assert_allclose(res2, res3, atol=1e-6)
     assert len(cat2) == len(cat3)
+
+
+def test_device_field_cache_invalidates_on_mutation(tiny_net):
+    """In-place edits of field_image must invalidate the memoized device
+    copy (keyed on identity + strided checksum), not silently reuse it."""
+    field, centers = _tiny_field()
+    df = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    dev1 = df._device_field(df.field_image)
+    dev1b = df._device_field(df.field_image)
+    assert dev1 is dev1b  # unchanged -> memoized
+    df.field_image[0, :, :, 0] += 1.0
+    dev2 = df._device_field(df.field_image)
+    assert dev2 is not dev1
+    np.testing.assert_allclose(
+        np.asarray(dev2)[0, :, :, 0], df.field_image[0, :, :, 0], rtol=1e-6
+    )
