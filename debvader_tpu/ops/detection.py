@@ -77,8 +77,14 @@ def default_filter_kernel(size: int = 7, fwhm: float = 3.0) -> np.ndarray:
     return (g / g.max() * 0.951108).astype(np.float32)
 
 
-def _sigma_clipped_stats(boxes: jax.Array, iters: int = 3):
-    """boxes: (G, G, P) pixels per mesh box -> (mean, median, std) clipped."""
+def _sigma_clipped_stats(boxes: jax.Array, iters: int = 3, valid=None):
+    """boxes: (G, G, P) pixels per mesh box -> (mean, median, std) clipped.
+
+    ``valid``: optional (G, G, P) float mask of usable pixels (non-finite
+    pixels — chip gaps, saturation — enter as 0 with valid=0 and never
+    rejoin the statistics)."""
+    if valid is None:
+        valid = jnp.ones_like(boxes)
 
     def one_iter(state, _):
         mask = state
@@ -91,10 +97,9 @@ def _sigma_clipped_stats(boxes: jax.Array, iters: int = 3):
         mean, std = masked_stat(boxes, mask)
         med = _masked_median(boxes, mask)
         new_mask = (jnp.abs(boxes - med[..., None]) <= 3.0 * std[..., None] + 1e-12)
-        return new_mask.astype(jnp.float32), None
+        return new_mask.astype(jnp.float32) * valid, None
 
-    mask = jnp.ones_like(boxes)
-    mask, _ = jax.lax.scan(one_iter, mask, None, length=iters)
+    mask, _ = jax.lax.scan(one_iter, valid, None, length=iters)
     cnt = jnp.maximum(mask.sum(-1), 1.0)
     mean = (boxes * mask).sum(-1) / cnt
     var = (jnp.square(boxes - mean[..., None]) * mask).sum(-1) / cnt
@@ -110,7 +115,8 @@ def _masked_median(x: jax.Array, mask: jax.Array) -> jax.Array:
     s = jnp.sort(big, axis=-1)
     cnt = mask.sum(-1).astype(jnp.int32)
     idx = jnp.maximum((cnt - 1) // 2, 0)
-    return jnp.take_along_axis(s, idx[..., None], axis=-1)[..., 0]
+    med = jnp.take_along_axis(s, idx[..., None], axis=-1)[..., 0]
+    return jnp.where(cnt > 0, med, 0.0)  # fully-masked box -> 0, not inf
 
 
 def _median3x3(mesh: jax.Array) -> jax.Array:
@@ -124,14 +130,26 @@ def _median3x3(mesh: jax.Array) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("box",))
 def estimate_background(image: jax.Array, box: int = 64):
-    """(back_map, rms_map, globalback, globalrms) for a 2D image."""
+    """(back_map, rms_map, globalback, globalrms) for a 2D image.
+
+    Non-finite pixels (chip gaps, saturation — routine in survey coadds;
+    sep takes them via its mask argument) are excluded from the box
+    statistics rather than poisoning the whole mesh."""
     f = image.shape[0]
+    finite = jnp.isfinite(image)
+    image = jnp.where(finite, image, 0.0)
     g = -(-f // box)  # cdiv
     pad = g * box - f
     padded = jnp.pad(image, ((0, pad), (0, pad)), mode="edge")
-    boxes = padded.reshape(g, box, g, box).transpose(0, 2, 1, 3).reshape(g, g, box * box)
+    fpad = jnp.pad(finite, ((0, pad), (0, pad)), mode="edge")
 
-    mean, med, std = _sigma_clipped_stats(boxes)
+    def to_boxes(x):
+        return x.reshape(g, box, g, box).transpose(0, 2, 1, 3).reshape(g, g, box * box)
+
+    boxes = to_boxes(padded)
+    valid = to_boxes(fpad.astype(jnp.float32))
+
+    mean, med, std = _sigma_clipped_stats(boxes, valid=valid)
     # SExtractor mode estimator; crowded boxes fall back to the median.
     mode = 2.5 * med - 1.5 * mean
     crowded = jnp.abs(mean - med) > 0.3 * (std + 1e-12)
@@ -167,7 +185,10 @@ def _detect_core(image: jax.Array, cfg: DetectionConfig):
     back, rms, globalback, globalrms = estimate_background(
         image, box=min(cfg.background_box, f)
     )
-    fore = image - back
+    # Non-finite pixels contribute zero to the matched filter (they are
+    # excluded from the background stats too); a NaN would otherwise spread
+    # through the conv footprint and erase real neighbors.
+    fore = jnp.where(jnp.isfinite(image), image - back, 0.0)
 
     kernel_np = default_filter_kernel(cfg.filter_size, cfg.filter_fwhm)
     kernel = jnp.asarray(kernel_np)
@@ -182,7 +203,11 @@ def _detect_core(image: jax.Array, cfg: DetectionConfig):
         from debvader_tpu.kernels.matched_filter import matched_filter_threshold
 
         filt, maskf = matched_filter_threshold(
-            image, back, kernel_np, threshold, interpret=jax.default_backend() != "tpu"
+            jnp.where(jnp.isfinite(image), image, back),  # same NaN guard
+            back,
+            kernel_np,
+            threshold,
+            interpret=jax.default_backend() != "tpu",
         )
         mask = maskf > 0
     else:

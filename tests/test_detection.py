@@ -254,3 +254,25 @@ def test_batched_sparse_download_matches_dense():
         np.testing.assert_allclose(single["y"], batched[i]["y"])
         np.testing.assert_allclose(single["x"], batched[i]["x"])
         np.testing.assert_allclose(single["flux"], batched[i]["flux"])
+
+
+def test_detection_degenerate_fields():
+    """Constant, pure-noise, and NaN-contaminated fields must not crash and
+    must behave sensibly (no sources on a constant field; NaN regions are
+    simply undetectable — comparisons with NaN are False)."""
+    cfg = DetectionConfig()
+    const = np.full((96, 96), 3.0, np.float32)
+    assert len(detect_objects(const, cfg)) == 0
+
+    noise = _field(96, noise=0.01, back=0.0, seed=9)
+    out = detect_objects(noise, cfg)
+    assert out.shape[1:] == (2,)  # whatever noise peaks pass, shape holds
+
+    withnan = _field(96, noise=0.01, back=0.0, seed=10)
+    _add_gauss(withnan, 30.0, 30.0, 5.0)
+    withnan[60:70, 60:70] = np.nan
+    res = detect_sources(withnan, cfg)
+    assert np.isfinite(res["y"]).all() and np.isfinite(res["x"]).all()
+    # the real source is still found
+    d = np.hypot(res["y"] - 30.0, res["x"] - 30.0)
+    assert d.min() < 1.5

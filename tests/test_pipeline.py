@@ -371,3 +371,13 @@ def test_device_field_cache_invalidates_on_mutation(tiny_net):
     np.testing.assert_allclose(
         np.asarray(dev2)[0, :, :, 0], df.field_image[0, :, :, 0], rtol=1e-6
     )
+
+
+def test_deblend_field_empty_centers(tiny_net):
+    field, _ = _tiny_field()
+    df = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    res = df.deblend_field(np.zeros((0, 2), np.float32))
+    assert isinstance(res, dict) and res["list_idx"] is None
+    cat, residual = df.deblend_and_render(np.zeros((0, 2), np.float32))
+    assert cat is None
+    np.testing.assert_array_equal(residual, field)
