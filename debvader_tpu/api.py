@@ -25,7 +25,7 @@ from debvader_tpu.models.distributions import PixelNormal
 from debvader_tpu.models.vae import DeblenderVAE
 from debvader_tpu.ops.normalize import denormalize_distribution, normalize_non_linear
 
-__all__ = ["deblend", "deblend_jit", "deblend_samples"]
+__all__ = ["deblend", "deblend_jit", "deblend_samples", "deblend_sample_stats"]
 
 _PADDED_BATCH_BUCKETS = (1, 8, 32, 128, 512, 2048, 8192)
 
@@ -113,15 +113,19 @@ def deblend_samples(
     (replaces the reference's 100-forwards-per-source Python loop,
     field_deblender.py:303-316).  Returns (n_samples, N, S, S, B) means.
 
-    All (sample, source) pairs flatten into one large batch — each row draws
-    its own latent noise, so one key covers every replica — and run through
-    the bucketed forward in MXU-sized chunks instead of n_samples tiny
-    sequential passes (measured 12.1 s -> sub-second for 100 x 28 on v5e).
+    The stochastic part of the forward is the latent draw — the encoder is
+    deterministic (BatchNorm in inference mode), so re-running it per
+    replica, as the reference's net(x)-in-a-loop does, recomputes the
+    identical posterior 100 times.  Here each source encodes ONCE; the
+    (sample, source) pairs then flatten into MXU-sized chunks of latent
+    draws + decodes.  Bit-for-bit the same distribution of outputs as
+    re-encoding (the posterior is a pure function of x), at roughly the
+    decoder's share of the forward cost.
 
     With ``mesh`` (and optionally a cached ``apply_fn`` from
     ``make_sharded_apply``) the flattened (sample, source) batch is sharded
-    over the mesh's 'data' axis, so epistemic estimation scales across a
-    slice like the main forward.
+    over the mesh's 'data' axis through the full forward instead (the
+    encode-once split is a single-chip optimization).
     """
     model, variables = net
     x = jnp.asarray(images, jnp.float32)
@@ -136,26 +140,150 @@ def deblend_samples(
 
         apply_fn = make_sharded_apply(model, mesh)
 
-    def forward(xx, key):
-        if apply_fn is None:
-            return deblend_jit(
-                model, variables, xx, key, normalise=normalise, z_mode="sample"
-            ).loc
+    if apply_fn is not None:
         from debvader_tpu.parallel.sharded import sharded_forward
 
-        return sharded_forward(
-            apply_fn, variables, xx, key, mesh, normalise=normalise
-        ).loc
+        def forward(xx, key):
+            return sharded_forward(
+                apply_fn, variables, xx, key, mesh, normalise=normalise
+            ).loc
 
+        reps_per_chunk = max(max_chunk // max(n, 1), 1)
+        outs = []
+        done = 0
+        i = 0
+        while done < n_samples:
+            reps = min(reps_per_chunk, n_samples - done)
+            xx = jnp.tile(x, (reps, 1, 1, 1))
+            loc = forward(xx, jax.random.fold_in(rng, i))
+            outs.append(loc.reshape((reps, n) + x.shape[1:]))
+            done += reps
+            i += 1
+        return jnp.concatenate(outs, axis=0)
+
+    loc, tril = _encode_jit(model, variables, x, normalise)
     reps_per_chunk = max(max_chunk // max(n, 1), 1)
     outs = []
     done = 0
     i = 0
     while done < n_samples:
         reps = min(reps_per_chunk, n_samples - done)
-        xx = jnp.tile(x, (reps, 1, 1, 1))
-        loc = forward(xx, jax.random.fold_in(rng, i))
-        outs.append(loc.reshape((reps, n) + x.shape[1:]))
+        means = _sample_decode_jit(
+            model, variables, loc, tril, jax.random.fold_in(rng, i), reps, normalise
+        )
+        outs.append(means)
         done += reps
         i += 1
     return jnp.concatenate(outs, axis=0)
+
+
+def deblend_sample_stats(
+    net: tuple[DeblenderVAE, Any],
+    images,
+    n_samples: int,
+    rng: jax.Array | None = None,
+    normalise: bool = False,
+    max_chunk: int = 8192,
+    mesh=None,
+    apply_fn=None,
+):
+    """(mean, std) over ``n_samples`` stochastic forwards per image,
+    accumulated ON DEVICE — the epistemic statistics without materializing
+    the (n_samples, N, S, S, B) sample cube ``deblend_samples`` returns
+    (100 samples x a survey chunk of 8k sources is ~70 GB; the statistics
+    are 2 x N stamps).
+
+    Replica chunks stream through the forward and merge into running
+    Welford statistics (parallel-variance merge, numerically stable for
+    singleton chunks), so peak memory is one replica chunk + two stamp
+    maps.  Same sampling distribution as deblend_samples (encode-once on a
+    single chip, full sharded forwards on a mesh).
+    """
+    model, variables = net
+    x = jnp.asarray(images, jnp.float32)
+    if x.ndim == 3:
+        x = x[None]
+    n = x.shape[0]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    if mesh is not None and apply_fn is None:
+        from debvader_tpu.parallel.sharded import make_sharded_apply
+
+        apply_fn = make_sharded_apply(model, mesh)
+
+    if apply_fn is None:
+        loc, tril = _encode_jit(model, variables, x, normalise)
+
+        def draw(reps, key):
+            return _sample_decode_jit(
+                model, variables, loc, tril, key, reps, normalise
+            )
+    else:
+        from debvader_tpu.parallel.sharded import sharded_forward
+
+        def draw(reps, key):
+            xx = jnp.tile(x, (reps, 1, 1, 1))
+            out = sharded_forward(
+                apply_fn, variables, xx, key, mesh, normalise=normalise
+            ).loc
+            return out.reshape((reps, n) + x.shape[1:])
+
+    reps_per_chunk = max(max_chunk // max(n, 1), 1)
+    count = 0
+    mean = None
+    m2 = None
+    done = 0
+    i = 0
+    while done < n_samples:
+        reps = min(reps_per_chunk, n_samples - done)
+        samples = draw(reps, jax.random.fold_in(rng, i))
+        c_mean = jnp.mean(samples, axis=0)
+        c_m2 = jnp.sum(jnp.square(samples - c_mean[None]), axis=0)
+        if mean is None:
+            mean, m2, count = c_mean, c_m2, reps
+        else:
+            mean, m2 = _welford_merge_jit(
+                mean, m2, jnp.float32(count), c_mean, c_m2, jnp.float32(reps)
+            )
+            count += reps
+        done += reps
+        i += 1
+    std = jnp.sqrt(jnp.maximum(m2 / count, 0.0))
+    return mean, std
+
+
+@jax.jit
+def _welford_merge_jit(mean, m2, count, c_mean, c_m2, c_count):
+    """Parallel-variance merge of (mean, M2, count) with a chunk's stats."""
+    total = count + c_count
+    delta = c_mean - mean
+    new_mean = mean + delta * (c_count / total)
+    new_m2 = m2 + c_m2 + jnp.square(delta) * (count * c_count / total)
+    return new_mean, new_m2
+
+
+@partial(jax.jit, static_argnames=("model", "normalise"))
+def _encode_jit(model, variables, x, normalise):
+    """One deterministic encode: x (N, S, S, B) -> posterior (loc, tril)."""
+    if normalise:
+        x = normalize_non_linear(x)
+    posterior = model.apply(variables, x, method=lambda m, x: m.encode(x))
+    return posterior.loc, posterior.scale_tril
+
+
+@partial(jax.jit, static_argnames=("model", "reps", "normalise"))
+def _sample_decode_jit(model, variables, loc, tril, rng, reps, normalise):
+    """reps independent latent draws per source + batched decode:
+    -> (reps, N, S, S, B) means."""
+    from debvader_tpu.models.distributions import MultivariateNormalTriL
+
+    n = loc.shape[0]
+    posterior = MultivariateNormalTriL(
+        jnp.tile(loc, (reps, 1)), jnp.tile(tril, (reps, 1, 1))
+    )
+    z = posterior.sample(rng)
+    dist = model.apply(variables, z, method=lambda m, z: m.decode(z))
+    if normalise:
+        dist = denormalize_distribution(dist)
+    return dist.loc.reshape((reps, n) + dist.loc.shape[1:])

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from debvader_tpu.api import deblend, deblend_samples
+from debvader_tpu.api import deblend, deblend_sample_stats
 from debvader_tpu.config import PipelineConfig
 from debvader_tpu.ops.extraction import extract_cutouts, extract_cutouts_np
 from debvader_tpu.ops.registration import position_optimization_batch
@@ -238,7 +238,7 @@ class DeblendField:
         # field_deblender.py:303-316).
         epi_dev = None
         if self.epistemic_uncertainty_estimation:
-            samples = deblend_samples(
+            _, epi_dev = deblend_sample_stats(
                 self.net,
                 cutouts,
                 n_samples=self.cfg.epistemic_samples,
@@ -247,7 +247,6 @@ class DeblendField:
                 mesh=self.mesh,
                 apply_fn=self._sharded_apply if self.mesh is not None else None,
             )
-            epi_dev = jnp.std(samples, axis=0)
             epistemic = np.asarray(epi_dev)
             epi_norm = epistemic[..., band].sum(axis=(1, 2)) / np.maximum(
                 means[..., band].sum(axis=(1, 2)), 1e-30
@@ -466,7 +465,7 @@ class DeblendField:
             )
 
             if self.epistemic_uncertainty_estimation:
-                samples = deblend_samples(
+                _, epi = deblend_sample_stats(
                     self.net,
                     cutouts,
                     n_samples=self.cfg.epistemic_samples,
@@ -475,7 +474,6 @@ class DeblendField:
                     mesh=self.mesh,
                     apply_fn=self._sharded_apply if self.mesh is not None else None,
                 )
-                epi = jnp.std(samples, axis=0)
                 epi_norm_dev = epi[..., band].sum(axis=(1, 2)) / jnp.maximum(
                     means_dev[..., band].sum(axis=(1, 2)), 1e-30
                 )

@@ -163,3 +163,58 @@ def test_deblend_samples_chunking_consistency():
     # deterministic given the same key
     s2 = deblend_samples((model, variables), x, n_samples=7, max_chunk=10)
     np.testing.assert_array_equal(arr, np.asarray(s2))
+
+
+def test_deblend_samples_encode_once_matches_full_forward_stats():
+    """deblend_samples encodes each source once and draws replicas from the
+    posterior (api.py _sample_decode_jit); the reference re-encodes per
+    replica, but the encoder is deterministic so both sample the SAME
+    distribution.  Check sample mean and per-pixel std agree between the
+    encode-once path and explicit full re-encoded forwards."""
+    from debvader_tpu.api import deblend_jit, deblend_samples
+
+    cfg = ModelConfig(stamp_size=23, nb_of_bands=3, latent_dim=4, filters=(4, 8), kernels=(3, 3))
+    model = DeblenderVAE(cfg)
+    variables = init_vae(model, jax.random.PRNGKey(0))
+    x = np.random.default_rng(1).normal(size=(3, 23, 23, 3)).astype(np.float32)
+
+    n_samples = 256
+    new = np.asarray(
+        deblend_samples((model, variables), x, n_samples=n_samples,
+                        rng=jax.random.PRNGKey(5))
+    )
+    old = np.stack([
+        np.asarray(
+            deblend_jit(model, variables, jnp.asarray(x),
+                        jax.random.PRNGKey(1000 + i), z_mode="sample").loc
+        )
+        for i in range(n_samples)
+    ])
+    assert new.shape == old.shape
+    # same distribution: means within a few standard errors, stds within 25%
+    se = old.std(axis=0) / np.sqrt(n_samples) + 1e-6
+    assert np.mean(np.abs(new.mean(0) - old.mean(0)) < 5 * se) > 0.99
+    ratio = (new.std(axis=0) + 1e-6) / (old.std(axis=0) + 1e-6)
+    assert 0.75 < np.median(ratio) < 1.33
+
+
+def test_deblend_sample_stats_matches_sample_cube():
+    """deblend_sample_stats streams Welford statistics instead of
+    materializing the sample cube; with the same rng it draws the same
+    replicas, so mean/std must match deblend_samples' cube to fp rounding."""
+    from debvader_tpu.api import deblend_sample_stats, deblend_samples
+
+    cfg = ModelConfig(stamp_size=23, nb_of_bands=3, latent_dim=4, filters=(4, 8), kernels=(3, 3))
+    model = DeblenderVAE(cfg)
+    variables = init_vae(model, jax.random.PRNGKey(0))
+    x = np.random.default_rng(2).normal(size=(5, 23, 23, 3)).astype(np.float32)
+
+    key = jax.random.PRNGKey(9)
+    cube = np.asarray(
+        deblend_samples((model, variables), x, n_samples=13, rng=key, max_chunk=10)
+    )
+    mean, std = deblend_sample_stats(
+        (model, variables), x, n_samples=13, rng=key, max_chunk=10
+    )
+    np.testing.assert_allclose(np.asarray(mean), cube.mean(0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(std), cube.std(0), atol=1e-4)
