@@ -46,8 +46,13 @@ def deblend_jit(
     normalise: bool = False,
     z_mode: str = "sample",
 ) -> PixelNormal:
-    """Fully-fused deblend forward; images (N, S, S, B) float32."""
+    """Fully-fused deblend forward; images (N, S, S, B) float32.
+
+    Non-finite pixels (chip gaps, saturation) enter the network as 0 —
+    background level for sky-subtracted stamps — instead of propagating
+    NaN through every conv into the outputs."""
     x = images.astype(jnp.float32)
+    x = jnp.where(jnp.isfinite(x), x, 0.0)
     if normalise:
         x = normalize_non_linear(x)
     dist, _ = model.apply(variables, x, rng=rng, z_mode=z_mode)
@@ -135,46 +140,55 @@ def deblend_samples(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    if mesh is not None and apply_fn is None:
-        from debvader_tpu.parallel.sharded import make_sharded_apply
-
-        apply_fn = make_sharded_apply(model, mesh)
-
-    if apply_fn is not None:
-        from debvader_tpu.parallel.sharded import sharded_forward
-
-        def forward(xx, key):
-            return sharded_forward(
-                apply_fn, variables, xx, key, mesh, normalise=normalise
-            ).loc
-
-        reps_per_chunk = max(max_chunk // max(n, 1), 1)
-        outs = []
-        done = 0
-        i = 0
-        while done < n_samples:
-            reps = min(reps_per_chunk, n_samples - done)
-            xx = jnp.tile(x, (reps, 1, 1, 1))
-            loc = forward(xx, jax.random.fold_in(rng, i))
-            outs.append(loc.reshape((reps, n) + x.shape[1:]))
-            done += reps
-            i += 1
-        return jnp.concatenate(outs, axis=0)
-
-    loc, tril = _encode_jit(model, variables, x, normalise)
+    draw = _make_replica_draw(
+        model, variables, x, rng, normalise, mesh, apply_fn
+    )
     reps_per_chunk = max(max_chunk // max(n, 1), 1)
     outs = []
     done = 0
     i = 0
     while done < n_samples:
         reps = min(reps_per_chunk, n_samples - done)
-        means = _sample_decode_jit(
-            model, variables, loc, tril, jax.random.fold_in(rng, i), reps, normalise
-        )
-        outs.append(means)
+        outs.append(draw(reps, i))
         done += reps
         i += 1
     return jnp.concatenate(outs, axis=0)
+
+
+def _make_replica_draw(model, variables, x, rng, normalise, mesh, apply_fn):
+    """draw(reps, i) -> (reps, N, S, S, B) sampled means — the one place
+    that picks between the single-chip encode-once path and the
+    mesh-sharded full forward (deblend_samples and deblend_sample_stats
+    both chunk through it).  ``apply_fn`` without a mesh falls back to the
+    single-chip path."""
+    n = x.shape[0]
+    if mesh is not None and apply_fn is None:
+        from debvader_tpu.parallel.sharded import make_sharded_apply
+
+        apply_fn = make_sharded_apply(model, mesh)
+
+    if mesh is not None:
+        from debvader_tpu.parallel.sharded import sharded_forward
+
+        def draw(reps, i):
+            xx = jnp.tile(x, (reps, 1, 1, 1))
+            loc = sharded_forward(
+                apply_fn, variables, xx, jax.random.fold_in(rng, i), mesh,
+                normalise=normalise,
+            ).loc
+            return loc.reshape((reps, n) + x.shape[1:])
+
+        return draw
+
+    loc, tril = _encode_jit(model, variables, x, normalise)
+
+    def draw(reps, i):
+        return _sample_decode_jit(
+            model, variables, loc, tril, jax.random.fold_in(rng, i), reps,
+            normalise,
+        )
+
+    return draw
 
 
 def deblend_sample_stats(
@@ -207,28 +221,9 @@ def deblend_sample_stats(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    if mesh is not None and apply_fn is None:
-        from debvader_tpu.parallel.sharded import make_sharded_apply
-
-        apply_fn = make_sharded_apply(model, mesh)
-
-    if apply_fn is None:
-        loc, tril = _encode_jit(model, variables, x, normalise)
-
-        def draw(reps, key):
-            return _sample_decode_jit(
-                model, variables, loc, tril, key, reps, normalise
-            )
-    else:
-        from debvader_tpu.parallel.sharded import sharded_forward
-
-        def draw(reps, key):
-            xx = jnp.tile(x, (reps, 1, 1, 1))
-            out = sharded_forward(
-                apply_fn, variables, xx, key, mesh, normalise=normalise
-            ).loc
-            return out.reshape((reps, n) + x.shape[1:])
-
+    draw = _make_replica_draw(
+        model, variables, x, rng, normalise, mesh, apply_fn
+    )
     reps_per_chunk = max(max_chunk // max(n, 1), 1)
     count = 0
     mean = None
@@ -237,7 +232,7 @@ def deblend_sample_stats(
     i = 0
     while done < n_samples:
         reps = min(reps_per_chunk, n_samples - done)
-        samples = draw(reps, jax.random.fold_in(rng, i))
+        samples = draw(reps, i)
         c_mean = jnp.mean(samples, axis=0)
         c_m2 = jnp.sum(jnp.square(samples - c_mean[None]), axis=0)
         if mean is None:
@@ -266,6 +261,7 @@ def _welford_merge_jit(mean, m2, count, c_mean, c_m2, c_count):
 @partial(jax.jit, static_argnames=("model", "normalise"))
 def _encode_jit(model, variables, x, normalise):
     """One deterministic encode: x (N, S, S, B) -> posterior (loc, tril)."""
+    x = jnp.where(jnp.isfinite(x), x, 0.0)  # same guard as deblend_jit
     if normalise:
         x = normalize_non_linear(x)
     posterior = model.apply(variables, x, method=lambda m, x: m.encode(x))

@@ -150,11 +150,26 @@ def estimate_background(image: jax.Array, box: int = 64):
     valid = to_boxes(fpad.astype(jnp.float32))
 
     mean, med, std = _sigma_clipped_stats(boxes, valid=valid)
+    has_data = valid.sum(-1) > 0
     # SExtractor mode estimator; crowded boxes fall back to the median.
     mode = 2.5 * med - 1.5 * mean
     crowded = jnp.abs(mean - med) > 0.3 * (std + 1e-12)
     back_mesh = jnp.where(crowded, med, mode)
     rms_mesh = std
+
+    # Boxes with zero valid pixels (a chip gap covering the whole box)
+    # would otherwise enter the meshes and the global medians as 0,
+    # dragging the background estimate down across the valid area (sep
+    # interpolates masked mesh cells the same way).  Fill them with the
+    # median over boxes that do have data.
+    has_flat = has_data.reshape(1, 1, -1).astype(jnp.float32)
+
+    def fill_gaps(mesh):
+        fallback = _masked_median(mesh.reshape(1, 1, -1), has_flat)[0, 0]
+        return jnp.where(has_data, mesh, fallback)
+
+    back_mesh = fill_gaps(back_mesh)
+    rms_mesh = fill_gaps(rms_mesh)
 
     back_mesh = _median3x3(back_mesh)
     rms_mesh = _median3x3(rms_mesh)

@@ -57,6 +57,7 @@ def sharded_forward(apply_fn, variables, x, rng, mesh, normalise: bool = False):
     )
 
     n = x.shape[0]
+    x = jnp.where(jnp.isfinite(x), x, 0.0)  # same guard as deblend_jit
     if normalise:
         x = normalize_non_linear(x)
     pad = (-n) % mesh.shape["data"]

@@ -88,7 +88,15 @@ class DeblendField:
         instead of silently reusing stale device contents."""
         flat = field_np.reshape(-1)
         probe = flat[:: max(1, flat.size // 65536)]
-        key = (id(field_np), field_np.shape, float(probe.sum()), float(probe[-1]))
+        # nansum + NaN count, not sum: a NaN in the probe (chip gaps are
+        # supported inputs) would make key != key on every call and turn
+        # the memo into a per-call re-upload.
+        key = (
+            id(field_np),
+            field_np.shape,
+            float(np.nansum(probe)),
+            int(np.count_nonzero(np.isnan(probe))),
+        )
         if getattr(self, "_dev_field_key", None) != key:
             self._dev_field_key = key
             self._dev_field = jnp.asarray(field_np, jnp.float32)
@@ -281,7 +289,13 @@ class DeblendField:
         else:
             shifts = np.zeros((n, 2), np.float32)
 
-        passed_cuts = ~((epi_norm > epistemic_criterion) | (mse_center > mse_criterion))
+        # non-finite metrics (e.g. a raw NaN cutout in the mse window) must
+        # fail the cuts, not slip through NaN-comparison-is-False
+        passed_cuts = (
+            ~((epi_norm > epistemic_criterion) | (mse_center > mse_criterion))
+            & np.isfinite(mse_center)
+            & np.isfinite(epi_norm)
+        )
 
         self.nb_of_detected_objects.append(len(centers))
         self.nb_of_deblended_galaxies.append(n)
@@ -315,7 +329,7 @@ class DeblendField:
         # chunk cannot pin gigabytes of HBM past the call (the host copies
         # in the recarray remain the source of truth either way); call
         # drop_render_cache() to release it early.
-        cache_bytes = 3 * means.nbytes
+        cache_bytes = means.nbytes * (2 if epi_dev is None else 3)
         if cache_bytes <= self.cfg.render_cache_bytes:
             self._render_cache = {
                 "token": self.res_deblend,
@@ -443,6 +457,11 @@ class DeblendField:
                 continue
             list_idx = np.flatnonzero(valid)
             cutouts = jnp.asarray(all_cutouts)[jnp.asarray(list_idx)]
+            # zero-fill non-finite pixels (chip gaps) once so the forward,
+            # the mse cut and the rendered model all see the same finite
+            # stamps — a NaN mean stamp would scatter NaN over every
+            # canvas pixel under its footprint
+            cutouts = jnp.where(jnp.isfinite(cutouts), cutouts, 0.0)
             n = len(list_idx)
 
             if self.mesh is not None:
@@ -514,9 +533,13 @@ class DeblendField:
                 fetch.update(measure_batch(means_dev, dist.stddev()))
             got = jax.device_get(fetch)
 
-            passed = ~(
-                (got["epistemic_norm"] > epistemic_criterion)
-                | (got["mse_center"] > mse_criterion)
+            passed = (
+                ~(
+                    (got["epistemic_norm"] > epistemic_criterion)
+                    | (got["mse_center"] > mse_criterion)
+                )
+                & np.isfinite(got["mse_center"])
+                & np.isfinite(got["epistemic_norm"])
             )
             cols["shifts"].extend(list(got["shifts"]))
             cols["list_idx"].extend(list(s0 + list_idx))

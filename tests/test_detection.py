@@ -276,3 +276,24 @@ def test_detection_degenerate_fields():
     # the real source is still found
     d = np.hypot(res["y"] - 30.0, res["x"] - 30.0)
     assert d.min() < 1.5
+
+
+def test_background_gap_boxes_filled_from_valid():
+    """A chip gap covering whole background boxes must not drag the mesh or
+    the global estimates toward 0 (gap boxes are filled with the median of
+    boxes that have data, like sep's masked-cell interpolation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from debvader_tpu.ops.detection import estimate_background
+
+    rng = np.random.default_rng(0)
+    img = (3.0 + 0.01 * rng.normal(size=(512, 512))).astype(np.float32)
+    img[:, :312] = np.nan  # ~61% gap, entire 64px boxes fully invalid
+    back, rms, gb, grms = jax.device_get(
+        estimate_background(jnp.asarray(img), box=64)
+    )
+    assert abs(float(gb) - 3.0) < 0.01
+    assert 0.005 < float(grms) < 0.02
+    # back map across the valid area (away from the gap edge) reads ~3.0
+    assert np.allclose(back[:, 340:], 3.0, atol=0.02)

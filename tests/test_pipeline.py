@@ -381,3 +381,19 @@ def test_deblend_field_empty_centers(tiny_net):
     cat, residual = df.deblend_and_render(np.zeros((0, 2), np.float32))
     assert cat is None
     np.testing.assert_array_equal(residual, field)
+
+
+def test_serving_with_nan_gap(tiny_net):
+    """Sources near a NaN chip gap: the forward sees zero-filled pixels, the
+    rendered model/residual stay finite everywhere, and rows whose mse
+    window is NaN-free pass cuts (non-finite metrics fail, never pass)."""
+    field, centers = _tiny_field()
+    field = field.copy()
+    field[0, 2:8, 2:8, :] = np.nan  # corner gap away from the sources
+    df = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    catalog, residual = df.deblend_and_render(centers)
+    assert catalog is not None
+    gap_free = np.ones_like(residual, bool)
+    gap_free[0, 2:8, 2:8, :] = False
+    assert np.isfinite(residual[gap_free]).all()
+    assert catalog.passed_cuts.all()
