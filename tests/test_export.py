@@ -42,3 +42,17 @@ def test_exported_sampling_is_keyed():
     m1b, _ = call(x, jax.random.key_data(jax.random.PRNGKey(1)))
     assert not np.allclose(np.asarray(m1), np.asarray(m2))
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m1b))
+
+
+def test_compilation_cache_helper(tmp_path):
+    """enable_compilation_cache creates the directory and points JAX's
+    persistent cache at it (bench scripts rely on this for cold starts)."""
+    import jax
+
+    from debvader_tpu.utils.compile_cache import enable_compilation_cache
+
+    target = tmp_path / "xla-cache"
+    out = enable_compilation_cache(str(target))
+    assert out == str(target)
+    assert target.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(target)
