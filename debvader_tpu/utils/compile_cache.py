@@ -24,22 +24,29 @@ __all__ = ["enable_compilation_cache"]
 _DEFAULT_DIR = "~/.cache/debvader_tpu/xla"
 
 
-def enable_compilation_cache(cache_dir: str | None = None) -> str:
+def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     """Enable JAX's persistent compilation cache and return the directory.
 
     cache_dir: target directory (created if missing).  Defaults to
     ``$JAX_COMPILATION_CACHE_DIR`` or ``~/.cache/debvader_tpu/xla``.
     Programs compiling in under 1 s are not persisted (cache churn for no
     win); all supported backends are allowed so CPU test runs cache too.
+
+    Best-effort: an unwritable filesystem or an old JAX without these
+    flags returns None rather than failing the caller — the cache is an
+    accelerator, never a dependency.
     """
     cache_dir = (
         cache_dir
         or os.environ.get("JAX_COMPILATION_CACHE_DIR")
         or _DEFAULT_DIR
     )
-    path = Path(cache_dir).expanduser()
-    path.mkdir(parents=True, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", str(path))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    try:
+        path = Path(cache_dir).expanduser()
+        path.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except (OSError, AttributeError, ValueError):
+        return None
     return str(path)
