@@ -48,6 +48,10 @@ def position_optimization_batch(
 
     Returns (N, 2) shifts clipped to [-bound, bound].
     """
+    # A single non-finite field pixel (chip gap) would turn every source's
+    # normal equations NaN (the residual covers the whole field, and
+    # 0 * NaN = NaN in jac.T @ r); registration treats gaps as background.
+    field_band = jnp.where(jnp.isfinite(field_band), field_band, 0.0)
     f = field_band.shape[0]
     s = pred_bands.shape[1]
     pos0 = (f - s) // 2

@@ -83,19 +83,17 @@ class DeblendField:
         """Device copy of the field, memoized: iterative deblending
         re-extracts from the same field every step and the host->device
         upload of a survey coadd is expensive.  Keyed on array identity
-        plus a strided-sample checksum so in-place edits of the same
-        ndarray (e.g. ``df.field_image[0] += ...``) invalidate the cache
-        instead of silently reusing stale device contents."""
-        flat = field_np.reshape(-1)
-        probe = flat[:: max(1, flat.size // 65536)]
-        # nansum + NaN count, not sum: a NaN in the probe (chip gaps are
-        # supported inputs) would make key != key on every call and turn
-        # the memo into a per-call re-upload.
+        plus a full content checksum so ANY in-place edit of the same
+        ndarray (e.g. ``df.field_image[0] += ...``) invalidates the cache
+        instead of silently reusing stale device contents.  The checksum
+        (nansum + NaN count — NaN-safe so gap fields still key equal to
+        themselves) scans the whole array: ~0.1 s/GB, far cheaper than the
+        upload it guards and the only way not to miss small edits."""
         key = (
             id(field_np),
             field_np.shape,
-            float(np.nansum(probe)),
-            int(np.count_nonzero(np.isnan(probe))),
+            float(np.nansum(field_np, dtype=np.float64)),
+            int(np.count_nonzero(np.isnan(field_np))),
         )
         if getattr(self, "_dev_field_key", None) != key:
             self._dev_field_key = key
@@ -456,13 +454,34 @@ class DeblendField:
             if not valid.any():
                 continue
             list_idx = np.flatnonzero(valid)
-            cutouts = jnp.asarray(all_cutouts)[jnp.asarray(list_idx)]
-            # zero-fill non-finite pixels (chip gaps) once so the forward,
-            # the mse cut and the rendered model all see the same finite
-            # stamps — a NaN mean stamp would scatter NaN over every
-            # canvas pixel under its footprint
-            cutouts = jnp.where(jnp.isfinite(cutouts), cutouts, 0.0)
+            raw_cutouts = jnp.asarray(all_cutouts)[jnp.asarray(list_idx)]
+            # zero-fill non-finite pixels (chip gaps) for the forward and
+            # the rendered model — a NaN mean stamp would scatter NaN over
+            # every canvas pixel under its footprint.  The mse cut below
+            # uses the RAW cutouts so a NaN mse window fails the quality
+            # cut, exactly like deblend_field's host-side path.
+            cutouts = jnp.where(jnp.isfinite(raw_cutouts), raw_cutouts, 0.0)
             n = len(list_idx)
+            dets = part[list_idx]
+
+            # Pad the per-chunk source count to a fixed bucket so the
+            # jitted stages (render, registration, measurement, forward)
+            # compile once per bucket instead of once per distinct count —
+            # iterative serving detects a different count every step, and
+            # each fresh compile costs minutes through a cold cache.
+            # Padded rows are masked out of the render and sliced off the
+            # fetched scalars.
+            from debvader_tpu.api import _bucket
+
+            m = _bucket(n)
+            if m != n:
+                zrows = jnp.zeros((m - n,) + raw_cutouts.shape[1:], raw_cutouts.dtype)
+                raw_cutouts = jnp.concatenate([raw_cutouts, zrows])
+                cutouts = jnp.concatenate([cutouts, zrows])
+                dets = np.concatenate(
+                    [dets, np.zeros((m - n, 2), np.float32)]
+                )
+            row_mask = jnp.arange(m) < n
 
             if self.mesh is not None:
                 _, dist = self._deblend_sharded(cutouts)
@@ -478,7 +497,7 @@ class DeblendField:
 
             mse_center = jnp.mean(
                 jnp.square(
-                    cutouts[:, c0:c1, c0:c1] - means_dev[:, c0:c1, c0:c1]
+                    raw_cutouts[:, c0:c1, c0:c1] - means_dev[:, c0:c1, c0:c1]
                 ),
                 axis=(1, 2, 3),
             )
@@ -497,9 +516,8 @@ class DeblendField:
                     means_dev[..., band].sum(axis=(1, 2)), 1e-30
                 )
             else:
-                epi_norm_dev = jnp.zeros((n,), jnp.float32)
+                epi_norm_dev = jnp.zeros((m,), jnp.float32)
 
-            dets = part[list_idx]
             if optimise_positions:
                 shifts_dev = position_optimization_batch(
                     field_dev[0, :, :, band],
@@ -509,13 +527,14 @@ class DeblendField:
                     iterations=self.cfg.gn_iterations,
                 )
             else:
-                shifts_dev = jnp.zeros((n, 2), jnp.float32)
+                shifts_dev = jnp.zeros((m, 2), jnp.float32)
 
             offs_dev = jnp.asarray(dets) + shifts_dev
             canvas = render_field(
                 means_dev,
                 offs_dev,
                 field_size,
+                mask=row_mask,
                 order=self.cfg.interp_order,
                 canvas=canvas,
                 crop=False,
@@ -532,6 +551,7 @@ class DeblendField:
 
                 fetch.update(measure_batch(means_dev, dist.stddev()))
             got = jax.device_get(fetch)
+            got = {k: v[:n] for k, v in got.items()}  # drop bucket padding
 
             passed = (
                 ~(
@@ -543,8 +563,8 @@ class DeblendField:
             )
             cols["shifts"].extend(list(got["shifts"]))
             cols["list_idx"].extend(list(s0 + list_idx))
-            cols["galaxy_distances_to_center_x"].extend(list(dets[:, 0]))
-            cols["galaxy_distances_to_center_y"].extend(list(dets[:, 1]))
+            cols["galaxy_distances_to_center_x"].extend(list(dets[:n, 0]))
+            cols["galaxy_distances_to_center_y"].extend(list(dets[:n, 1]))
             cols["mse_center"].extend(list(got["mse_center"]))
             cols["epistemic_norm"].extend(list(got["epistemic_norm"]))
             cols["passed_cuts"].extend(list(passed))

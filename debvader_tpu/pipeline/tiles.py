@@ -153,5 +153,7 @@ class TiledDeblendField(DeblendField):
         the final residual/model field cross the host link."""
         centers = self.detect()
         if len(centers) == 0:
+            if kwargs.get("return_model"):
+                return None, self.field_image.copy(), np.zeros_like(self.field_image[0])
             return None, self.field_image.copy()
         return self.deblend_and_render(centers, **kwargs)

@@ -105,6 +105,11 @@ def create_train_state(
     init_rng, state_rng = jax.random.split(rng)
     if variables is None:
         variables = init_vae(model, init_rng)
+    else:
+        # The train steps donate the state's buffers (in-place updates);
+        # copy caller-supplied arrays so the caller's variables — possibly
+        # still serving inference — are never invalidated by training.
+        variables = jax.tree_util.tree_map(jnp.array, variables)
     if freeze_decoder and freeze is None:
         freeze = "decoder"
     tx = _make_optimizer(train_cfg, freeze, variables["params"])

@@ -358,19 +358,25 @@ def test_iterative_deblend_and_render_streaming(tiny_net):
 
 
 def test_device_field_cache_invalidates_on_mutation(tiny_net):
-    """In-place edits of field_image must invalidate the memoized device
-    copy (keyed on identity + strided checksum), not silently reuse it."""
+    """In-place edits of field_image — even a single pixel — must
+    invalidate the memoized device copy (keyed on identity + full
+    content checksum), not silently reuse it.  NaN-bearing fields must
+    still key equal to themselves (cache hit)."""
     field, centers = _tiny_field()
     df = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
     dev1 = df._device_field(df.field_image)
     dev1b = df._device_field(df.field_image)
     assert dev1 is dev1b  # unchanged -> memoized
-    df.field_image[0, :, :, 0] += 1.0
+    df.field_image[0, 7, 11, 1] += 0.5  # single-pixel edit
     dev2 = df._device_field(df.field_image)
     assert dev2 is not dev1
     np.testing.assert_allclose(
-        np.asarray(dev2)[0, :, :, 0], df.field_image[0, :, :, 0], rtol=1e-6
+        np.asarray(dev2)[0, 7, 11, 1], df.field_image[0, 7, 11, 1], rtol=1e-6
     )
+    df.field_image[0, 2, 2, :] = np.nan  # gap pixels: memo must still hit
+    dev3 = df._device_field(df.field_image)
+    dev3b = df._device_field(df.field_image)
+    assert dev3 is dev3b
 
 
 def test_deblend_field_empty_centers(tiny_net):

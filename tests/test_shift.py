@@ -162,3 +162,34 @@ def test_position_optimization_respects_bounds():
         )
     )
     assert (np.abs(shifts) <= 3.0 + 1e-6).all()
+
+
+def test_position_optimization_ignores_nan_field_pixels():
+    """A chip-gap pixel anywhere in the field must not poison the
+    Gauss-Newton normal equations (0 * NaN = NaN in jac.T @ r covered the
+    whole field): shifts stay finite and recover a known offset."""
+    import jax.numpy as jnp
+
+    from debvader_tpu.ops.registration import position_optimization_batch
+    from debvader_tpu.ops.shift import subpixel_shift
+
+    rng = np.random.default_rng(0)
+    f, s = 64, 23
+    yy, xx = np.mgrid[:s, :s]
+    stamp = np.exp(-((yy - s // 2) ** 2 + (xx - s // 2) ** 2) / 8.0).astype(np.float32)
+    field = (0.001 * rng.normal(size=(f, f))).astype(np.float32)
+    pos0 = (f - s) // 2
+    canvas = np.zeros((f, f), np.float32)
+    canvas[pos0 : pos0 + s, pos0 : pos0 + s] = stamp
+    true_shift = np.array([1.3, -0.7], np.float32)
+    field += np.asarray(subpixel_shift(jnp.asarray(canvas), jnp.asarray(true_shift)))
+    field[2, 2] = np.nan  # a gap pixel far from the source
+
+    shifts = np.asarray(
+        position_optimization_batch(
+            jnp.asarray(field), jnp.asarray(stamp)[None],
+            jnp.asarray([[0.0, 0.0]], np.float32),
+        )
+    )
+    assert np.isfinite(shifts).all()
+    np.testing.assert_allclose(shifts[0], true_shift, atol=0.05)
