@@ -10,8 +10,10 @@ from debvader_tpu.parallel.mesh import (
 from debvader_tpu.parallel.sharded import (
     create_sharded_train_state,
     make_sharded_apply,
+    make_sharded_eval_step,
     make_sharded_train_step,
     shard_batch,
+    shard_train_state,
 )
 
 __all__ = [
@@ -24,6 +26,8 @@ __all__ = [
     "shard_variables",
     "create_sharded_train_state",
     "make_sharded_apply",
+    "make_sharded_eval_step",
     "make_sharded_train_step",
     "shard_batch",
+    "shard_train_state",
 ]

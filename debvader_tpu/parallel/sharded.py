@@ -26,8 +26,10 @@ from debvader_tpu.training.train import TrainState, create_train_state
 
 __all__ = [
     "shard_batch",
+    "shard_train_state",
     "create_sharded_train_state",
     "make_sharded_train_step",
+    "make_sharded_eval_step",
     "make_sharded_apply",
     "sharded_forward",
 ]
@@ -83,6 +85,14 @@ def create_sharded_train_state(
         model, train_cfg, rng=rng, freeze_decoder=freeze_decoder, freeze=freeze,
         variables=variables,
     )
+    return shard_train_state(state, mesh)
+
+
+def shard_train_state(state: TrainState, mesh) -> TrainState:
+    """Place an existing TrainState on the mesh (params TP-sharded per
+    param_shardings, BN stats / step / rng replicated, Adam moments sharded
+    like their params).  Idempotent — re-placing a sharded state is a no-op
+    device_put."""
     p_shard = mesh_lib.param_shardings(state.params, mesh)
     rep = mesh_lib.replicated(mesh)
 
@@ -118,37 +128,40 @@ def create_sharded_train_state(
 
 
 def make_sharded_train_step(
-    model: DeblenderVAE, mesh, train_cfg: TrainConfig | None = None
+    model: DeblenderVAE,
+    mesh,
+    train_cfg: TrainConfig | None = None,
+    weighted: bool = False,
 ) -> Callable:
-    """Jitted (state, x, y) -> (state, metrics) with batch sharded over
-    'data'.  Gradient all-reduce and TP collectives are inserted by XLA."""
+    """Jitted (state, x, y[, w]) -> (state, metrics) with batch sharded over
+    'data'.  Gradient all-reduce and TP collectives are inserted by XLA.
+
+    ``weighted=True`` adds a per-sample weight vector (losses.elbo_terms):
+    zero-weight pad rows drop out of loss/gradient/metrics, letting callers
+    pad batches to a multiple of the data axis."""
     train_cfg = train_cfg or TrainConfig()
-    from debvader_tpu.training.train import _kl_weight_at
+    from debvader_tpu.training.train import make_loss_fn
 
-    def loss_fn(params, batch_stats, x, y, rng, step):
-        def fwd(m, x, rng):
-            posterior = m.encode(x, train=True)
-            z = posterior.sample(rng)
-            dist = m.decode(z)
-            return dist, posterior, z
-
-        (dist, posterior, z), mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            x,
-            rng,
-            method=fwd,
-            mutable=["batch_stats"],
-        )
-        kl_w = _kl_weight_at(step, train_cfg)
-        terms = losses.elbo_terms(
-            dist, posterior, y, z=z, kl_weight=kl_w, kl_mode=train_cfg.kl_mode
-        )
-        return terms["loss"], (terms, mutated["batch_stats"])
-
+    loss_fn = make_loss_fn(model, train_cfg)
     batch_s = mesh_lib.batch_sharding(mesh)
 
     # State buffers are donated (updated in place on each chip) — keep only
     # the returned state, as make_train_step documents.
+    if weighted:
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step_w(state: TrainState, x, y, w):
+            x = jax.lax.with_sharding_constraint(x, batch_s)
+            y = jax.lax.with_sharding_constraint(y, batch_s)
+            w = jax.lax.with_sharding_constraint(w, batch_s)
+            rng, new_rng = jax.random.split(state.rng)
+            grads, (terms, new_bs) = jax.grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, x, y, rng, state.step, w
+            )
+            return state.apply_gradients(grads, new_bs, new_rng), terms
+
+        return step_w
+
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, x: jax.Array, y: jax.Array):
         x = jax.lax.with_sharding_constraint(x, batch_s)
@@ -160,6 +173,42 @@ def make_sharded_train_step(
         return state.apply_gradients(grads, new_bs, new_rng), terms
 
     return step
+
+
+def make_sharded_eval_step(
+    model: DeblenderVAE, mesh, train_cfg: TrainConfig | None = None
+) -> Callable:
+    """Jitted weighted validation step (state, x, y, w, rng) -> metrics,
+    batch sharded over 'data' (BN in inference mode, sampled latent — same
+    semantics as training.train.make_eval_step)."""
+    train_cfg = train_cfg or TrainConfig()
+    batch_s = mesh_lib.batch_sharding(mesh)
+
+    @jax.jit
+    def eval_step(state: TrainState, x, y, w, rng):
+        x = jax.lax.with_sharding_constraint(x, batch_s)
+        y = jax.lax.with_sharding_constraint(y, batch_s)
+        w = jax.lax.with_sharding_constraint(w, batch_s)
+
+        def fwd(m, x, rng):
+            posterior = m.encode(x, train=False)
+            z = posterior.sample(rng)
+            dist = m.decode(z)
+            return dist, posterior, z
+
+        dist, posterior, z = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x,
+            rng,
+            method=fwd,
+        )
+        return losses.elbo_terms(
+            dist, posterior, y, z=z,
+            kl_weight=train_cfg.kl_weight, kl_mode=train_cfg.kl_mode,
+            weights=w,
+        )
+
+    return eval_step
 
 
 def make_sharded_apply(model: DeblenderVAE, mesh, z_mode: str = "sample") -> Callable:

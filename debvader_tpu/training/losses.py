@@ -34,6 +34,26 @@ def nll(dist: PixelNormal, y: jax.Array) -> jax.Array:
     return -jnp.mean(dist.log_prob(y))
 
 
+def _kl_per_sample(
+    posterior: MultivariateNormalTriL,
+    z: jax.Array | None,
+    mode: str,
+) -> jax.Array:
+    """Per-sample KL(q(z|x) || N(0, I)), shape (N,)."""
+    if mode == "analytic":
+        return posterior.kl_to_standard_normal()
+    if mode == "mc":
+        if z is None:
+            raise ValueError("kl mode 'mc' requires the sampled latent z")
+        n = posterior.event_dim
+        log_q = posterior.log_prob(z)
+        log_p = -0.5 * jnp.sum(jnp.square(z), -1) - 0.5 * n * jnp.log(
+            jnp.asarray(2.0 * jnp.pi, z.dtype)
+        )
+        return log_q - log_p
+    raise ValueError(f"unknown kl mode {mode!r}")
+
+
 def kl_divergence(
     posterior: MultivariateNormalTriL,
     z: jax.Array | None = None,
@@ -44,18 +64,7 @@ def kl_divergence(
     ``mode='mc'`` reproduces the reference's regularizer estimator:
     log q(z) - log p(z) evaluated at the forward pass's sampled z.
     """
-    if mode == "analytic":
-        return jnp.mean(posterior.kl_to_standard_normal())
-    if mode == "mc":
-        if z is None:
-            raise ValueError("kl mode 'mc' requires the sampled latent z")
-        n = posterior.event_dim
-        log_q = posterior.log_prob(z)
-        log_p = -0.5 * jnp.sum(jnp.square(z), -1) - 0.5 * n * jnp.log(
-            jnp.asarray(2.0 * jnp.pi, z.dtype)
-        )
-        return jnp.mean(log_q - log_p)
-    raise ValueError(f"unknown kl mode {mode!r}")
+    return jnp.mean(_kl_per_sample(posterior, z, mode))
 
 
 def elbo_terms(
@@ -65,17 +74,38 @@ def elbo_terms(
     z: jax.Array | None = None,
     kl_weight: float | jax.Array = 0.01,
     kl_mode: str = "analytic",
+    weights: jax.Array | None = None,
 ) -> dict[str, jax.Array]:
     """All training metrics in one fused pass.
 
     ``loss = nll + kl_weight * kl`` is exactly the reference's total
     objective (vae_loss + the 0.01-weighted regularizer).
+
+    ``weights`` (shape (N,), optional) weights the batch reduction per
+    sample: ``sum_i w_i * term_i / sum_i w_i``.  Zero-weight rows drop out
+    of every term and the gradient — used by the mesh-sharded trainer to
+    pad batches to a multiple of the data axis without changing the
+    optimization.  With all-ones weights this is mathematically identical
+    to the unweighted path (reduction order differs at float epsilon).
     """
-    rec = nll(dist, y)
-    kl = kl_divergence(posterior, z=z, mode=kl_mode)
+    if weights is None:
+        rec = nll(dist, y)
+        kl = kl_divergence(posterior, z=z, mode=kl_mode)
+        m = mse(dist.mean(), y)
+    else:
+        w = weights.astype(jnp.float32)
+        wsum = jnp.sum(w)
+        axes = tuple(range(1, y.ndim))
+
+        def wmean(per_sample):
+            return jnp.sum(w * per_sample) / wsum
+
+        rec = wmean(-jnp.mean(dist.log_prob(y), axis=axes))
+        kl = wmean(_kl_per_sample(posterior, z, kl_mode))
+        m = wmean(jnp.mean(jnp.square(dist.mean() - y), axis=axes))
     return {
         "nll": rec,
         "kl": kl,
         "loss": rec + kl_weight * kl,
-        "mse": mse(dist.mean(), y),
+        "mse": m,
     }

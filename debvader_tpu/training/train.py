@@ -132,20 +132,14 @@ def _kl_weight_at(step, train_cfg: TrainConfig):
     return w
 
 
-def make_train_step(
-    model: DeblenderVAE, train_cfg: TrainConfig | None = None
-) -> Callable:
-    """Build the jitted (state, x, y) -> (state, metrics) training step.
+def make_loss_fn(model: DeblenderVAE, train_cfg: TrainConfig) -> Callable:
+    """(params, batch_stats, x, y, rng, step[, w]) -> (loss, (terms, new_bs)).
 
-    The input state's buffers are donated to the step: params, Adam moments
-    and BN stats are updated in place on device instead of being copied
-    every step (~100 MB/step for the full model), so the old state object
-    must not be read after the call — keep only the returned state (the
-    epoch loops here do exactly that).
-    """
-    train_cfg = train_cfg or TrainConfig()
+    Shared by the single-device and mesh-sharded step factories so loss
+    semantics cannot drift between them.  ``w`` is the optional per-sample
+    weight vector (see losses.elbo_terms)."""
 
-    def loss_fn(params, batch_stats, x, y, rng, step):
+    def loss_fn(params, batch_stats, x, y, rng, step, w=None):
         def fwd(m, x, rng):
             posterior = m.encode(x, train=True)
             z = posterior.sample(rng)
@@ -161,9 +155,44 @@ def make_train_step(
         )
         kl_w = _kl_weight_at(step, train_cfg)
         terms = losses.elbo_terms(
-            dist, posterior, y, z=z, kl_weight=kl_w, kl_mode=train_cfg.kl_mode
+            dist, posterior, y, z=z, kl_weight=kl_w, kl_mode=train_cfg.kl_mode,
+            weights=w,
         )
         return terms["loss"], (terms, mutated["batch_stats"])
+
+    return loss_fn
+
+
+def make_train_step(
+    model: DeblenderVAE,
+    train_cfg: TrainConfig | None = None,
+    weighted: bool = False,
+) -> Callable:
+    """Build the jitted (state, x, y) -> (state, metrics) training step.
+
+    The input state's buffers are donated to the step: params, Adam moments
+    and BN stats are updated in place on device instead of being copied
+    every step (~100 MB/step for the full model), so the old state object
+    must not be read after the call — keep only the returned state (the
+    epoch loops here do exactly that).
+
+    ``weighted=True`` builds a (state, x, y, w) step using per-sample
+    weights (zero-weight rows contribute nothing to loss or gradient).
+    """
+    train_cfg = train_cfg or TrainConfig()
+    loss_fn = make_loss_fn(model, train_cfg)
+
+    if weighted:
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step_w(state: TrainState, x, y, w):
+            rng, new_rng = jax.random.split(state.rng)
+            grads, (terms, new_bs) = jax.grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, x, y, rng, state.step, w
+            )
+            return state.apply_gradients(grads, new_bs, new_rng), terms
+
+        return train_step_w
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, x: jax.Array, y: jax.Array):
@@ -204,12 +233,98 @@ def make_eval_step(model: DeblenderVAE, train_cfg: TrainConfig | None = None):
     return eval_step
 
 
-def _batches(n: int, batch_size: int, rng: np.random.Generator | None):
+def _batches(
+    n: int,
+    batch_size: int,
+    rng: np.random.Generator | None,
+    drop_remainder: bool = False,
+):
+    """Index blocks of ``batch_size``; the trailing partial block is yielded
+    unless ``drop_remainder``.  Training includes the partial batch (Keras
+    ``fit`` semantics, reference training/train.py:27-37 — one extra jit
+    specialization for the tail shape); validation drops it (the reference
+    caps validation at ``int(n/bs)`` full batches, training/train.py:33)."""
     idx = np.arange(n)
     if rng is not None:
         rng.shuffle(idx)
-    for start in range(0, n - batch_size + 1, batch_size):
-        yield idx[start : start + batch_size]
+    for start in range(0, n, batch_size):
+        block = idx[start : start + batch_size]
+        if drop_remainder and len(block) < batch_size:
+            return
+        yield block
+
+
+def _make_step_runners(model, train_cfg, batch_size, mesh):
+    """Build (run_train, run_eval, maybe_shard_state) closures.
+
+    mesh=None: the plain single-device jitted steps; the trailing partial
+    batch runs at its natural (smaller) shape, exactly like Keras ``fit``.
+
+    mesh set: the sharded steps from parallel/sharded.py.  Batches whose
+    length is divisible by the mesh 'data' axis run the unweighted step
+    (bitwise-comparable to the single-device path); others are zero-padded
+    up to the next multiple and run a weighted step so pad rows drop out of
+    loss, gradient and metrics.  (Pad rows do still enter train-mode
+    BatchNorm batch statistics — documented in PARITY.md.)
+    """
+    if mesh is None:
+        train_step = make_train_step(model, train_cfg)
+        eval_step = make_eval_step(model, train_cfg)
+
+        def run_train(state, bx, by):
+            return train_step(
+                state, jnp.asarray(bx, jnp.float32), jnp.asarray(by, jnp.float32)
+            )
+
+        def run_eval(state, bx, by, rng):
+            return eval_step(
+                state, jnp.asarray(bx, jnp.float32), jnp.asarray(by, jnp.float32), rng
+            )
+
+        return run_train, run_eval, lambda state: state
+
+    # Lazy import: parallel/sharded.py imports this module.
+    from debvader_tpu.parallel import mesh as mesh_lib
+    from debvader_tpu.parallel.sharded import (
+        make_sharded_eval_step,
+        make_sharded_train_step,
+        shard_train_state,
+    )
+
+    dp = mesh.shape[mesh_lib.DATA_AXIS]
+    batch_s = mesh_lib.batch_sharding(mesh)
+    plain_step = make_sharded_train_step(model, mesh, train_cfg)
+    steps = {"train_w": None, "eval_w": None}
+
+    def put(a):
+        return jax.device_put(jnp.asarray(a, jnp.float32), batch_s)
+
+    def pad_weighted(bx, by):
+        n = len(bx)
+        m = -(-n // dp) * dp
+        w = np.zeros((m,), np.float32)
+        w[:n] = 1.0
+        if m != n:
+            pad = ((0, m - n),) + ((0, 0),) * (np.ndim(bx) - 1)
+            bx = np.pad(np.asarray(bx, np.float32), pad)
+            by = np.pad(np.asarray(by, np.float32), pad)
+        return put(bx), put(by), put(w)
+
+    def run_train(state, bx, by):
+        if len(bx) % dp == 0:
+            return plain_step(state, put(bx), put(by))
+        if steps["train_w"] is None:
+            steps["train_w"] = make_sharded_train_step(
+                model, mesh, train_cfg, weighted=True
+            )
+        return steps["train_w"](state, *pad_weighted(bx, by))
+
+    def run_eval(state, bx, by, rng):
+        if steps["eval_w"] is None:
+            steps["eval_w"] = make_sharded_eval_step(model, mesh, train_cfg)
+        return steps["eval_w"](state, *pad_weighted(bx, by), rng)
+
+    return run_train, run_eval, lambda state: shard_train_state(state, mesh)
 
 
 def train_network(
@@ -222,16 +337,33 @@ def train_network(
     callbacks: Iterable | None = None,
     verbose: int = 1,
     train_cfg: TrainConfig | None = None,
+    mesh=None,
+    metrics_log=None,
 ):
     """Epoch loop mirroring the reference train_network (training/train.py:11-39).
 
     ``training_data`` / ``validation_data`` are (inputs, labels) numpy pairs.
     Returns (state, history) where history is a Keras-History-like dict.
+
+    ``mesh``: a ``jax.sharding.Mesh`` (parallel.make_mesh) — training runs
+    data-parallel over its 'data' axis (and tensor-parallel over 'model' if
+    present), with XLA inserting the ICI collectives.  BASELINE config 3
+    ("data-parallel over 8 chips") is ``train_network(..., mesh=make_mesh())``.
+
+    ``metrics_log``: a ``utils.profiling.MetricsLog`` (or a str/Path for a
+    JSONL file) receiving one structured record per epoch in addition to the
+    returned history.
     """
     train_cfg = train_cfg or TrainConfig()
-    train_step = make_train_step(model, train_cfg)
-    eval_step = make_eval_step(model, train_cfg)
+    run_train, run_eval, shard_state = _make_step_runners(
+        model, train_cfg, batch_size, mesh
+    )
+    state = shard_state(state)
     shuffle_rng = np.random.default_rng(train_cfg.seed)
+    if isinstance(metrics_log, (str, bytes)) or hasattr(metrics_log, "__fspath__"):
+        from debvader_tpu.utils.profiling import MetricsLog
+
+        metrics_log = MetricsLog(metrics_log)
 
     # ``training_data`` may be an (inputs, labels) array pair like the
     # reference, or any loader with next_batch()/__len__ — e.g. the native
@@ -251,9 +383,7 @@ def train_network(
         if use_loader:
             for _ in range(len(training_data)):
                 bx, by = training_data.next_batch()
-                state, terms = train_step(
-                    state, jnp.asarray(bx, jnp.float32), jnp.asarray(by, jnp.float32)
-                )
+                state, terms = run_train(state, bx, by)
                 sums = terms if sums is None else jax.tree_util.tree_map(
                     jnp.add, sums, terms
                 )
@@ -262,11 +392,7 @@ def train_network(
             for idx in _batches(
                 len(x_tr), batch_size, shuffle_rng if train_cfg.shuffle else None
             ):
-                state, terms = train_step(
-                    state,
-                    jnp.asarray(x_tr[idx], jnp.float32),
-                    jnp.asarray(y_tr[idx], jnp.float32),
-                )
+                state, terms = run_train(state, x_tr[idx], y_tr[idx])
                 sums = terms if sums is None else jax.tree_util.tree_map(
                     jnp.add, sums, terms
                 )
@@ -276,14 +402,13 @@ def train_network(
         n_val = 0
         val_rng = jax.random.fold_in(jax.random.PRNGKey(train_cfg.seed), epoch)
         n_val_steps = max(int(len(x_va) / batch_size), 1)
-        for i, idx in enumerate(_batches(len(x_va), batch_size, None)):
+        for i, idx in enumerate(
+            _batches(len(x_va), batch_size, None, drop_remainder=len(x_va) >= batch_size)
+        ):
             if i >= n_val_steps:
                 break
-            terms = eval_step(
-                state,
-                jnp.asarray(x_va[idx], jnp.float32),
-                jnp.asarray(y_va[idx], jnp.float32),
-                jax.random.fold_in(val_rng, i),
+            terms = run_eval(
+                state, x_va[idx], y_va[idx], jax.random.fold_in(val_rng, i)
             )
             val_sums = terms if val_sums is None else jax.tree_util.tree_map(
                 jnp.add, val_sums, terms
@@ -307,6 +432,8 @@ def train_network(
         if verbose == 1:
             msg = " ".join(f"{k}={v:.4f}" for k, v in logs.items())
             print(f"epoch {epoch + 1}/{epochs}: {msg}")
+        if metrics_log is not None:
+            metrics_log.log(epoch, **logs)
         for cb in callbacks or []:
             cb.on_epoch_end(epoch, logs, state)
 
@@ -329,11 +456,23 @@ def train_deblender(
     train_cfg: TrainConfig | None = None,
     model_cfg: ModelConfig | None = None,
     weights_dir: str | None = None,
+    mesh=None,
+    metrics_log=None,
 ):
     """Two-stage transfer trainer, signature-compatible with the reference
     train_deblender (training/train.py:78-205).
 
     Returns (hist_vae, hist_deblender, state, model).
+
+    ``mesh``: run both stages data-parallel over a device mesh (BASELINE
+    config 3 is ``train_deblender(..., mesh=parallel.make_mesh())``); the
+    stage-2 decoder freeze and checkpoint callbacks behave identically.
+
+    ``from_survey`` with a checkpoint whose band count differs from
+    ``nb_of_bands`` warm-starts through ``transfer.transfer_band_count``
+    (BASELINE config 5) instead of failing: band-independent weights carry
+    over, band-shaped layers reinitialize.  (The reference's same-band-only
+    warm start is training/train.py:145-154.)
     """
     from debvader_tpu.training import checkpoint as ckpt
 
@@ -351,9 +490,20 @@ def train_deblender(
 
     state = create_train_state(model, train_cfg)
 
-    # Warm start from another survey's weights (training/train.py:145-154)
+    # Warm start from another survey's weights (training/train.py:145-154).
+    # A band-count mismatch goes through transfer_band_count (BASELINE
+    # config 5) rather than a shape error.
     if from_survey is not None:
+        from debvader_tpu.training.transfer import (
+            checkpoint_band_count,
+            transfer_band_count,
+        )
+
         restored = ckpt.load_weights(from_survey, weights_dir=weights_dir)
+        if checkpoint_band_count(restored) != nb_of_bands:
+            restored = transfer_band_count(
+                restored, model_cfg, rng=jax.random.PRNGKey(train_cfg.seed)
+            )
         state = state.replace(
             params=restored["params"], batch_stats=restored["batch_stats"]
         )
@@ -365,7 +515,8 @@ def train_deblender(
     )
     state, hist_vae = train_network(
         model, state, epochs, training_data_vae, validation_data_vae,
-        batch_size, callbacks_vae, verbose, train_cfg,
+        batch_size, callbacks_vae, verbose, train_cfg, mesh=mesh,
+        metrics_log=metrics_log,
     )
 
     # Stage 2: fresh optimizer with the decoder frozen
@@ -383,7 +534,8 @@ def train_deblender(
     )
     state2, hist_deblender = train_network(
         model, state2, epochs, training_data_deblender, validation_data_deblender,
-        batch_size, callbacks_debl, verbose, train_cfg,
+        batch_size, callbacks_debl, verbose, train_cfg, mesh=mesh,
+        metrics_log=metrics_log,
     )
 
     return hist_vae, hist_deblender, state2, model
