@@ -82,11 +82,9 @@ class DetectionConfig:
     # (extra close-pair splits) with identical truth-match quality.
     deblend_cont: float = 1e-5
     background_box: int = 64  # sep.Background default bw/bh
-    background_fthresh: float = 0.0
     filter_fwhm: float = 3.0  # 7x7 gaussian matched filter, FWHM 3 px
     filter_size: int = 7
     detection_band: int = 2  # r band (detect/detection.py:14)
-    max_sources: int = 256  # static upper bound for jit-compatible outputs
     # Detection-threshold normalization for the filtered image:
     #   'sep_conv' -> thresh * rms, matching sep filter_type='conv' (the
     #                 reference's behavior: the unnormalized convolution is
@@ -100,7 +98,17 @@ class DetectionConfig:
     threshold_scaling: str = "sep_conv"
     # Use the fused Pallas matched-filter kernel instead of the XLA conv
     # chain (kernels/matched_filter.py; measured at parity on v5e).
+    # Single-field backend; the batched/tiled path supersedes it with the
+    # fused detect kernel below.
     use_pallas_filter: bool = False
+    # Fully fused detect core (kernels/detect_fused.py): matched filter +
+    # threshold + watershed parents + direction codes in one VMEM pass
+    # feeding the label-resolution fixpoint.  None = auto (on when running
+    # on TPU); True forces it (interpreter mode off-TPU, for tests); False
+    # disables.  Composes with detect_sources_batched; mesh-sharded
+    # detection keeps the XLA core (SPMD partitioning of pallas_call
+    # requires shard_map).
+    use_pallas_fused: bool | None = None
     # Fused Pallas label-resolution step (kernels/label_select.py) for the
     # watershed ascent iteration — one VMEM pass per step vs the XLA select
     # chain's ~5x-off-roofline traffic.  TPU only; XLA path elsewhere.

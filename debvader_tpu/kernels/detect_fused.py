@@ -1,0 +1,203 @@
+"""Pallas TPU kernel: fused matched filter + threshold + watershed parents.
+
+The detection core (ops/detection.py) was three logical stages on the
+device: (1) background-subtract + 7x7 matched filter + threshold, (2) the
+steepest-ascent parent race over the 3x3 neighborhood with lexicographic
+(value, -index) tie-breaking, (3) the direction-code derivation feeding the
+label-resolution fixpoint.  XLA fuses (1) to the bandwidth roofline on its
+own (kernels/matched_filter.py measured 25.9 ms XLA vs 27.9 ms Pallas at
+4096^2), but it cannot fuse (2)-(3) *into* the convolution — the race needs
+the filtered value of all 8 neighbors, so XLA materializes the filtered
+field to HBM and re-reads 9 shifted copies of it (plus 9 more of the index
+grid) across separate fusions.  This kernel computes the filtered value
+over a (tile+2)-halo'd window and runs the race in the same VMEM residency:
+one read of (image, background, index-map), one write of
+(filtered, direction-code, parent) — the whole per-pixel detection pipeline
+in a single HBM pass, emitting exactly what kernels/label_select.py's
+fixpoint iteration consumes.
+
+Replaces the reference's single sep.extract C call
+(/root/reference/src/debvader/detect/detection.py:37-46) on the device side;
+the host keeps only the segment-level tail (multi-threshold merge, minarea,
+centroids, CLEAN — ops/detection.py _postprocess_core).
+
+Layout: the tile stack (T, F, F) is flattened into the row axis with an
+8-row inter-tile gap (the conv lead/tail), so one 3D grid (T, rows, cols)
+streams every tile through the same program without vmap (whose batching
+rule renumbers program_id axes) and halo reads can never cross tiles.  The
+in-field test and the race's tie-breaking indices come from a single
+(frame_h, frame_w) index-map constant shared by all tiles (-1 outside the
+real field), so the kernel needs no program-id coordinate arithmetic.
+
+Per-tile thresholds (each detection tile has its own background RMS) ride
+in SMEM.
+
+Parity: the filtered output matches the XLA conv chain to float epsilon
+(same separable accumulation as kernels/matched_filter.py); the direction
+codes and parents are bit-identical to ops/detection.py's XLA race applied
+to this kernel's own filtered output (asserted in
+tests/test_pallas_detect_fused.py).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from debvader_tpu.kernels.matched_filter import _separate
+
+__all__ = ["matched_filter_parents"]
+
+_LEAD = 4  # 3 conv halo + 1 race halo
+_OFFSETS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+
+def _df_kernel(img_ref, back_ref, idx_ref, thresh_ref, filt_ref, dir_ref, cur_ref,
+               *, kernel, tile):
+    """One (tile, tile) output block from a (tile+8, tile+128) halo'd frame
+    window.  idx_ref carries the global flat pixel index (-1 out of field)."""
+    fore = img_ref[:, :] - back_ref[:, :]
+
+    # filtered values over the race region: rows/cols [-1, tile+1) of the
+    # output tile; ext[re, ce] = conv(fore)[global (re-1, ce-1)+tile origin]
+    sep = _separate(kernel)
+    if sep is not None:
+        wy, wx = sep
+        tmp = jnp.zeros((tile + 2, fore.shape[1]), jnp.float32)
+        for dy in range(7):
+            tmp = tmp + float(wy[dy]) * fore[dy : dy + tile + 2, :]
+        ext = jnp.zeros((tile + 2, tile + 2), jnp.float32)
+        for dx in range(7):
+            ext = ext + float(wx[dx]) * tmp[:, dx : dx + tile + 2]
+    else:
+        ext = jnp.zeros((tile + 2, tile + 2), jnp.float32)
+        for dy in range(7):
+            for dx in range(7):
+                w = float(kernel[dy, dx])
+                ext = ext + w * fore[dy : dy + tile + 2, dx : dx + tile + 2]
+
+    idx_e = idx_ref[3 : 3 + tile + 2, 3 : 3 + tile + 2]
+    # per-tile threshold; program_id is safe here — this pallas_call is
+    # never vmapped (the stack rides the grid's leading axis)
+    thresh = thresh_ref[pl.program_id(0)]
+    neg_inf = jnp.float32(-jnp.inf)
+    mval = jnp.where((ext > thresh) & (idx_e >= 0), ext, neg_inf)
+
+    # steepest-ascent race, same neighbor order and (value, -index)
+    # tie-breaking as the XLA path (ops/detection.py _detect_core)
+    best_v = mval[1 : 1 + tile, 1 : 1 + tile]
+    best_i = idx_e[1 : 1 + tile, 1 : 1 + tile]
+    best_c = jnp.full((tile, tile), 4, jnp.int32)
+    for code, (dy, dx) in enumerate(_OFFSETS):
+        if dy == 0 and dx == 0:
+            continue
+        nv = mval[1 + dy : 1 + dy + tile, 1 + dx : 1 + dx + tile]
+        ni = idx_e[1 + dy : 1 + dy + tile, 1 + dx : 1 + dx + tile]
+        better = (nv > best_v) | ((nv == best_v) & (ni < best_i))
+        best_v = jnp.where(better, nv, best_v)
+        best_i = jnp.where(better, ni, best_i)
+        best_c = jnp.where(better, jnp.int32(code), best_c)
+
+    center_mask = mval[1 : 1 + tile, 1 : 1 + tile] > neg_inf
+    filt_ref[0] = ext[1 : 1 + tile, 1 : 1 + tile]
+    dir_ref[0] = jnp.where(center_mask, best_c, 4)
+    cur_ref[0] = jnp.where(center_mask, best_i, 0)
+
+
+@lru_cache(maxsize=8)
+def _index_frame(f: int, padded_f: int) -> np.ndarray:
+    """(frame_h, frame_w) int32 map: global flat index r*f+c in-field, -1
+    outside.  Shared by every tile of the stack."""
+    frame_h = padded_f + 2 * _LEAD
+    frame_w = padded_f + 128
+    idx = np.full((frame_h, frame_w), -1, np.int32)
+    r = np.arange(f)
+    idx[_LEAD : _LEAD + f, _LEAD : _LEAD + f] = r[:, None] * f + r[None, :]
+    return idx
+
+
+def matched_filter_parents(
+    images: jax.Array,
+    backgrounds: jax.Array,
+    kernel: np.ndarray,
+    thresholds: jax.Array,
+    tile: int = 256,
+    interpret: bool = False,
+):
+    """(filtered, dir_code, parent) for a stack of 2D fields in one pass.
+
+    images, backgrounds: (T, F, F) float32 (pre-guard non-finite pixels to
+    the background, as ops/detection.py does); kernel: static (7, 7) numpy;
+    thresholds: (T,) per-tile detection thresholds.
+
+    Returns (filt (T, P, P) float32, dir_code (T, P, P) int32,
+    parent (T, P, P) int32) where P = F rounded up to the tile grid; the
+    padded region carries dir_code 4 / parent 0 / filt 0, so the stack can
+    be row-flattened straight into kernels/label_select.py without
+    re-padding.  Parent values are per-field flat indices (row*F + col).
+    """
+    kernel = np.asarray(kernel, np.float32)
+    if kernel.shape != (7, 7):
+        raise ValueError("matched_filter_parents expects a 7x7 kernel")
+    kernel_key = tuple(map(tuple, kernel.tolist()))
+    return _mfp_jit(images, backgrounds, kernel_key, thresholds, tile, interpret)
+
+
+@partial(jax.jit, static_argnames=("kernel_key", "tile", "interpret"))
+def _mfp_jit(images, backgrounds, kernel_key, thresholds, tile, interpret):
+    t, f, _ = images.shape
+    kernel = np.asarray(kernel_key, np.float32)
+    grid_n = pl.cdiv(f, tile)
+    padded_f = grid_n * tile
+    frame_h = padded_f + 2 * _LEAD
+    frame_w = padded_f + 128
+
+    def frame(x):
+        x = jnp.pad(
+            x.astype(jnp.float32),
+            (
+                (0, 0),
+                (_LEAD, padded_f - f + _LEAD),
+                (_LEAD, padded_f - f + 128 - _LEAD),
+            ),
+        )
+        return x.reshape(t * frame_h, frame_w)
+
+    img_p = frame(images)
+    back_p = frame(backgrounds)
+    idx = jnp.asarray(_index_frame(f, padded_f))
+
+    halo = (pl.Element(tile + 2 * _LEAD), pl.Element(tile + 128))
+    # frame_h and tile are both multiples of 8, but Mosaic's divisibility
+    # prover can't show it for the sum — hint it explicitly.
+    img_spec = pl.BlockSpec(
+        halo,
+        lambda b, i, j: (pl.multiple_of(b * frame_h + i * tile, 8), j * tile),
+        memory_space=pltpu.VMEM,
+    )
+    idx_spec = pl.BlockSpec(
+        halo, lambda b, i, j: (i * tile, j * tile), memory_space=pltpu.VMEM
+    )
+    thresh_spec = pl.BlockSpec(memory_space=pltpu.SMEM)  # full (T,) array
+    out_spec = pl.BlockSpec(
+        (1, tile, tile), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM
+    )
+
+    filt, dirc, cur = pl.pallas_call(
+        partial(_df_kernel, kernel=kernel, tile=tile),
+        out_shape=(
+            jax.ShapeDtypeStruct((t, padded_f, padded_f), jnp.float32),
+            jax.ShapeDtypeStruct((t, padded_f, padded_f), jnp.int32),
+            jax.ShapeDtypeStruct((t, padded_f, padded_f), jnp.int32),
+        ),
+        grid=(t, grid_n, grid_n),
+        in_specs=[img_spec, img_spec, idx_spec, thresh_spec],
+        out_specs=(out_spec, out_spec, out_spec),
+        interpret=interpret,
+    )(img_p, back_p, idx, jnp.asarray(thresholds, jnp.float32))
+    return filt, dirc, cur

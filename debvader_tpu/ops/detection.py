@@ -31,6 +31,7 @@ rounding convention (detection.py:48-56).
 
 from __future__ import annotations
 
+import dataclasses
 from functools import lru_cache, partial
 
 import jax
@@ -380,6 +381,36 @@ def _multi_threshold_merge(labels, filt, threshold, cfg: DetectionConfig):
 
     nthr = max(cfg.deblend_nthresh, 1)
     thr = max(float(threshold), 1e-30)
+    order = np.argsort(peak, kind="stable")  # weakest peaks first
+
+    # The merge loop is inherently sequential (each merge rewires the
+    # neighbor graph and updates fluxes before later decisions) — it runs
+    # in the native core (runtime/segmerge.cpp, operation-identical, so
+    # results are bit-identical), with the Python loop below as the
+    # no-toolchain fallback.  At 4k-coadd scale the Python loop was ~1/3
+    # of steady detection wall time (BASELINE.md r3).
+    from debvader_tpu.runtime.segmerge import merge_segments
+
+    roots = merge_segments(
+        ea, eb, eh, peak, flux, order, nthr, thr, cfg.deblend_cont
+    )
+    if roots is None:
+        roots = _merge_segments_py(
+            ea, eb, eh, peak, flux.copy(), order, nthr, thr, cfg.deblend_cont
+        )
+    if np.array_equal(roots, np.arange(L)):
+        return labels
+    final = labs[roots]  # final original-label value per compact id
+    out_flat = flat.copy()
+    out_flat[pix_mask] = final[np.searchsorted(labs, flat[pix_mask])]
+    return out_flat.reshape(f, f)
+
+
+def _merge_segments_py(ea, eb, eh, peak, flux, order, nthr, thr, cont):
+    """Pure-Python reference implementation of the merge loop (the native
+    core in runtime/segmerge.cpp is an operation-for-operation translation
+    of this; tests assert bit-identical roots).  Returns the roots array."""
+    L = len(peak)
 
     def level(v, island_peak):
         if island_peak <= thr or v <= thr:
@@ -405,7 +436,6 @@ def _multi_threshold_merge(labels, filt, threshold, cfg: DetectionConfig):
         incident[ea[e]].append(e)
         incident[eb[e]].append(e)
 
-    order = np.argsort(peak, kind="stable")  # weakest peaks first
     changed = True
     while changed:
         changed = False
@@ -429,7 +459,7 @@ def _multi_threshold_merge(labels, filt, threshold, cfg: DetectionConfig):
             island_peak = max(peak[r], peak[best_other])
             island_flux = flux[r] + flux[best_other]
             separated = level(peak[r], island_peak) > level(best_h, island_peak)
-            significant = flux[r] > cfg.deblend_cont * island_flux
+            significant = flux[r] > cont * island_flux
             if not (separated and significant):
                 parent[r] = best_other
                 flux[best_other] += flux[r]
@@ -437,13 +467,57 @@ def _multi_threshold_merge(labels, filt, threshold, cfg: DetectionConfig):
                 incident[r] = []
                 changed = True
 
-    roots = np.fromiter((find(i) for i in range(L)), np.int64, L)
-    if np.array_equal(roots, np.arange(L)):
-        return labels
-    final = labs[roots]  # final original-label value per compact id
-    out_flat = flat.copy()
-    out_flat[pix_mask] = final[np.searchsorted(labs, flat[pix_mask])]
-    return out_flat.reshape(f, f)
+    return np.fromiter((find(i) for i in range(L)), np.int64, L)
+
+
+def _fused_enabled(cfg: DetectionConfig) -> bool:
+    """Whether the fused Pallas detect core (kernels/detect_fused.py) runs:
+    auto on TPU, forced (interpreter mode) by use_pallas_fused=True."""
+    if cfg.filter_size != 7:
+        return False
+    if cfg.use_pallas_fused is None:
+        return jax.default_backend() == "tpu"
+    return cfg.use_pallas_fused
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _detect_core_stack(xs: jax.Array, cfg: DetectionConfig):
+    """Fused detect core over a (T, F, F) stack: vmapped background mesh,
+    then ONE Pallas pass (matched filter + threshold + watershed parents +
+    direction codes, kernels/detect_fused.py) and the label-resolution
+    fixpoint over the row-flattened stack (tile gaps carry direction code 4,
+    so labels cannot cross tiles).  Returns (labels, filt, globalrms) with
+    the same semantics as vmapped _detect_core."""
+    from debvader_tpu.kernels.detect_fused import matched_filter_parents
+    from debvader_tpu.kernels.label_select import label_select_fixpoint
+
+    f = xs.shape[-1]
+    back, rms, gback, grms = jax.vmap(
+        lambda im: estimate_background(im, box=min(cfg.background_box, f))
+    )(xs)
+    kernel_np = default_filter_kernel(cfg.filter_size, cfg.filter_fwhm)
+    if cfg.threshold_scaling == "matched":
+        scale = float(np.sqrt(np.sum(np.square(kernel_np))))
+    elif cfg.threshold_scaling == "sep_conv":
+        scale = 1.0
+    else:
+        raise ValueError(f"unknown threshold_scaling {cfg.threshold_scaling!r}")
+    thr = cfg.thresh * grms * scale  # (T,)
+
+    interpret = jax.default_backend() != "tpu"
+    guarded = jnp.where(jnp.isfinite(xs), xs, back)
+    filt_p, dir_p, cur_p = matched_filter_parents(
+        guarded, back, kernel_np, thr, interpret=interpret
+    )
+    t, p = filt_p.shape[0], filt_p.shape[-1]
+    nxt, _ = label_select_fixpoint(
+        cur_p.reshape(t * p, p), dir_p.reshape(t * p, p), rows=128,
+        interpret=interpret,
+    )
+    nxt = nxt.reshape(t, p, p)[:, :f, :f]
+    filt = filt_p[:, :f, :f]
+    labels = jnp.where(filt > thr[:, None, None], nxt, -1)
+    return labels, filt, grms
 
 
 def detect_sources(image_2d, cfg: DetectionConfig | None = None):
@@ -451,13 +525,18 @@ def detect_sources(image_2d, cfg: DetectionConfig | None = None):
     barycenters), 'area', 'flux', 'peak_yx', and the label map."""
     cfg = cfg or DetectionConfig()
     image = jnp.asarray(image_2d, jnp.float32)
+    if _fused_enabled(cfg) and not cfg.use_pallas_filter:
+        labels, filt, grms = _detect_core_stack(image[None], cfg)
+        return _postprocess_core(
+            np.asarray(labels[0]), np.asarray(filt[0]), float(grms[0]), cfg
+        )
     labels, is_peak, filt, fore, globalrms = _detect_core(image, cfg)
     return _postprocess_core(
         np.asarray(labels), np.asarray(filt), float(globalrms), cfg
     )
 
 
-def _postprocess_core(labels_np, filt_np, globalrms, cfg):
+def _postprocess_core(labels_np, filt_np, globalrms, cfg, timings=None):
     """Host stage after the jitted core: multi-threshold merge, minarea,
     centroids, CLEAN.  Split out so tiled/sharded callers can run the core
     batched on device and post-process each tile here.
@@ -466,7 +545,13 @@ def _postprocess_core(labels_np, filt_np, globalrms, cfg):
     is its own pointer-jumping fixpoint; merged-away peaks lose that
     property during relabeling), so the core's is_peak output never needs
     a device->host transfer.
+
+    ``timings``: optional dict accumulating per-stage wall seconds
+    ('merge', 'segstats', 'clean') across calls (utils.profiling.stage_timer).
     """
+    from debvader_tpu.utils.profiling import stage_timer
+
+    t = timings if timings is not None else {}
     f = labels_np.shape[0]
     # Quantized multi-threshold deblending criterion (sep's
     # deblend_nthresh/deblend_cont) applied to the watershed splits.
@@ -477,33 +562,36 @@ def _postprocess_core(labels_np, filt_np, globalrms, cfg):
     else:
         knorm = 1.0
     thr_val = cfg.thresh * float(globalrms) * knorm
-    labels_np = _multi_threshold_merge(labels_np, filt_np, thr_val, cfg)
+    with stage_timer(t, "merge"):
+        labels_np = _multi_threshold_merge(labels_np, filt_np, thr_val, cfg)
 
     # Segment statistics over the masked pixels only (a few percent of the
     # field) — full-size index grids / where-passes over every pixel used
     # to dominate the host stage.
-    flat_labels = labels_np.ravel()
-    size = f * f
-    sel = np.flatnonzero(flat_labels >= 0)
-    lab_sel = flat_labels[sel]
-    w_sel = np.maximum(filt_np.ravel()[sel], 0.0)
+    with stage_timer(t, "segstats"):
+        flat_labels = labels_np.ravel()
+        size = f * f
+        sel = np.flatnonzero(flat_labels >= 0)
+        lab_sel = flat_labels[sel]
+        w_sel = np.maximum(filt_np.ravel()[sel], 0.0)
 
-    area = np.bincount(lab_sel, minlength=size).astype(np.float64)
-    flux = np.bincount(lab_sel, weights=w_sel, minlength=size)
-    ysum = np.bincount(lab_sel, weights=w_sel * (sel // f), minlength=size)
-    xsum = np.bincount(lab_sel, weights=w_sel * (sel % f), minlength=size)
+        area = np.bincount(lab_sel, minlength=size).astype(np.float64)
+        flux = np.bincount(lab_sel, weights=w_sel, minlength=size)
+        ysum = np.bincount(lab_sel, weights=w_sel * (sel // f), minlength=size)
+        xsum = np.bincount(lab_sel, weights=w_sel * (sel % f), minlength=size)
 
-    peak_flat = sel[lab_sel == sel]  # pointer-jumping fixpoints = peaks
-    keep = peak_flat[area[peak_flat] >= cfg.minarea]
-    fl = np.maximum(flux[keep], 1e-30)
-    ys = ysum[keep] / fl
-    xs = xsum[keep] / fl
-    peak_val = filt_np.ravel()[keep]
+        peak_flat = sel[lab_sel == sel]  # pointer-jumping fixpoints = peaks
+        keep = peak_flat[area[peak_flat] >= cfg.minarea]
+        fl = np.maximum(flux[keep], 1e-30)
+        ys = ysum[keep] / fl
+        xs = xsum[keep] / fl
+        peak_val = filt_np.ravel()[keep]
 
     if cfg.clean and len(keep) > 1:
-        keep_mask = _clean_pass(ys, xs, peak_val, cfg)
-        keep = keep[keep_mask]
-        ys, xs = ys[keep_mask], xs[keep_mask]
+        with stage_timer(t, "clean"):
+            keep_mask = _clean_pass(ys, xs, peak_val, cfg)
+            keep = keep[keep_mask]
+            ys, xs = ys[keep_mask], xs[keep_mask]
 
     fl = np.maximum(flux[keep], 1e-30)
     return {
@@ -535,15 +623,21 @@ def _batched_core_fn(cfg: DetectionConfig, mesh):
     """
 
     def fn(xs):
-        if mesh is not None:
-            from debvader_tpu.parallel import mesh as mesh_lib
+        if mesh is None and _fused_enabled(cfg):
+            labels, filt, grms = _detect_core_stack(xs, cfg)
+        else:
+            # Mesh-sharded detection keeps the XLA core: XLA SPMD
+            # partitions the vmapped ops over 'data'; partitioning a
+            # pallas_call would need shard_map.
+            if mesh is not None:
+                from debvader_tpu.parallel import mesh as mesh_lib
 
-            xs = jax.lax.with_sharding_constraint(
-                xs, mesh_lib.batch_sharding(mesh)
-            )
-        labels, is_peak, filt, fore, grms = jax.vmap(
-            lambda im: _detect_core(im, cfg)
-        )(xs)
+                xs = jax.lax.with_sharding_constraint(
+                    xs, mesh_lib.batch_sharding(mesh)
+                )
+            labels, is_peak, filt, fore, grms = jax.vmap(
+                lambda im: _detect_core(im, cfg)
+            )(xs)
         # ONE compaction over the whole tile stack (global flat indices):
         # per-tile COO downloads pay a host-link round trip per tile; the
         # fused version costs one count sync plus three bulk copies.
@@ -579,34 +673,48 @@ def _compact_masked(labels: jax.Array, filt: jax.Array, k: int):
 
 
 def detect_sources_batched(
-    tiles, cfg: DetectionConfig | None = None, mesh=None
+    tiles, cfg: DetectionConfig | None = None, mesh=None, timings=None
 ) -> list[dict]:
     """Detection over a stack of same-size tiles (T, F, F): one batched —
     and, with ``mesh``, 'data'-axis-sharded — device pass for the cores,
     then the host postprocess per tile.  Returns a list of per-tile result
     dicts with the ``detect_sources`` schema.  This is how tiled survey
     fields fan detection out across chips (SURVEY.md §5 long-context row).
+
+    ``timings``: optional dict accumulating per-stage wall seconds — 'core'
+    (device detect incl. the count sync), 'download' (COO device->host),
+    'reconstruct' (dense per-tile label/filt rebuild), plus the
+    _postprocess_core stages ('merge', 'segstats', 'clean').
     """
     cfg = cfg or DetectionConfig()
     shape = np.shape(tiles)
     n_padded = shape[0]
     if mesh is not None:
         n_padded += (-shape[0]) % mesh.shape["data"]
-    if cfg.use_pallas_filter or n_padded * int(np.prod(shape[1:])) >= 2**31:
-        # the Pallas filter kernel is written for a single unbatched field;
+    if cfg.use_pallas_filter and not _fused_enabled(cfg):
+        # The standalone Pallas filter (use_pallas_filter) is a single-field
+        # backend; in the batched path it is superseded by the fused detect
+        # core, which subsumes it (filter + threshold + parents in one
+        # pass).  Route through the fused stack instead of de-batching.
+        cfg = dataclasses.replace(cfg, use_pallas_filter=False, use_pallas_fused=True)
+    if n_padded * int(np.prod(shape[1:])) >= 2**31:
         # stacks past 2^31 pixels (after mesh padding) would overflow the
         # int32 COO flat index
         return [detect_sources(t, cfg) for t in np.asarray(tiles)]
+    from debvader_tpu.utils.profiling import stage_timer
+
+    t = timings if timings is not None else {}
     x = jnp.asarray(tiles, jnp.float32)
     n = x.shape[0]
     if mesh is not None:
         pad = (-n) % mesh.shape["data"]
         if pad:
             x = jnp.concatenate([x, x[:pad]])
-    labels, filt, grms, idx, lab, val, count = _batched_core_fn(cfg, mesh)(x)
+    with stage_timer(t, "core"):
+        labels, filt, grms, idx, lab, val, count = _batched_core_fn(cfg, mesh)(x)
+        c = int(count)  # one scalar sync for the whole stack
     f = x.shape[-1]
     k = _compact_k(f) * x.shape[0]
-    c = int(count)  # one scalar sync for the whole stack
     grms = np.asarray(grms)
 
     if c > k:
@@ -615,27 +723,31 @@ def detect_sources_batched(
         # buffer sized to the now-known count (rounded up to a power of two
         # to bound recompiles) — still ~8x less traffic than dense maps.
         k = 1 << (c - 1).bit_length()
-        idx, lab, val, _ = _compact_masked_jit(labels, filt, k=k)
+        with stage_timer(t, "core"):
+            idx, lab, val, _ = _compact_masked_jit(labels, filt, k=k)
 
     # Three bulk D2H copies of the [:count] COO slices for ALL tiles
     # (global ascending flat indices), then per-tile dense reconstruction.
-    idx_np, lab_np, val_np = jax.device_get((idx[:c], lab[:c], val[:c]))
+    with stage_timer(t, "download"):
+        idx_np, lab_np, val_np = jax.device_get((idx[:c], lab[:c], val[:c]))
     per_tile = f * f
     bounds = np.searchsorted(idx_np, np.arange(n + 1) * per_tile)
     out = []
     for i in range(n):
         s, e = bounds[i], bounds[i + 1]
-        dense_lab = np.full(per_tile, -1, np.int32)
-        dense_val = np.zeros(per_tile, np.float32)
-        local = idx_np[s:e] - i * per_tile
-        dense_lab[local] = lab_np[s:e]
-        dense_val[local] = val_np[s:e]
+        with stage_timer(t, "reconstruct"):
+            dense_lab = np.full(per_tile, -1, np.int32)
+            dense_val = np.zeros(per_tile, np.float32)
+            local = idx_np[s:e] - i * per_tile
+            dense_lab[local] = lab_np[s:e]
+            dense_val[local] = val_np[s:e]
         out.append(
             _postprocess_core(
                 dense_lab.reshape(f, f),
                 dense_val.reshape(f, f),
                 float(grms[i]),
                 cfg,
+                timings=t,
             )
         )
     return out

@@ -39,6 +39,10 @@ def render_pad(stamp_size: int, order: int = 1) -> int:
     """Canvas padding render_field uses for (stamp_size, order) — exposed so
     incremental callers (crop=False) can crop the final canvas themselves:
     ``canvas[pad : pad + field_size, pad : pad + field_size]``."""
+    if order not in (1, 3):
+        # mirror render_field's validation so a caller cannot compute a
+        # crop offset for a render that will never run
+        raise ValueError(f"render interpolation order must be 1 or 3, got {order}")
     interp_pad = 1 if order == 1 else 10
     return stamp_size + 2 * interp_pad
 

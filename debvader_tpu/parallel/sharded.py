@@ -132,24 +132,29 @@ def make_sharded_train_step(
     mesh,
     train_cfg: TrainConfig | None = None,
     weighted: bool = False,
+    donate: bool = True,
 ) -> Callable:
     """Jitted (state, x, y[, w]) -> (state, metrics) with batch sharded over
     'data'.  Gradient all-reduce and TP collectives are inserted by XLA.
 
     ``weighted=True`` adds a per-sample weight vector (losses.elbo_terms):
     zero-weight pad rows drop out of loss/gradient/metrics, letting callers
-    pad batches to a multiple of the data axis."""
+    pad batches to a multiple of the data axis.
+
+    ``donate=False`` disables state-buffer donation for callers that keep a
+    reference to the pre-step state (see make_train_step)."""
     train_cfg = train_cfg or TrainConfig()
     from debvader_tpu.training.train import make_loss_fn
 
     loss_fn = make_loss_fn(model, train_cfg)
     batch_s = mesh_lib.batch_sharding(mesh)
+    donate_argnums = (0,) if donate else ()
 
     # State buffers are donated (updated in place on each chip) — keep only
     # the returned state, as make_train_step documents.
     if weighted:
 
-        @partial(jax.jit, donate_argnums=(0,))
+        @partial(jax.jit, donate_argnums=donate_argnums)
         def step_w(state: TrainState, x, y, w):
             x = jax.lax.with_sharding_constraint(x, batch_s)
             y = jax.lax.with_sharding_constraint(y, batch_s)
@@ -162,7 +167,7 @@ def make_sharded_train_step(
 
         return step_w
 
-    @partial(jax.jit, donate_argnums=(0,))
+    @partial(jax.jit, donate_argnums=donate_argnums)
     def step(state: TrainState, x: jax.Array, y: jax.Array):
         x = jax.lax.with_sharding_constraint(x, batch_s)
         y = jax.lax.with_sharding_constraint(y, batch_s)

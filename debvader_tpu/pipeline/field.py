@@ -79,22 +79,44 @@ class DeblendField:
         self.mse: list[float] = []
 
     # ------------------------------------------------------------------ rng
+
+    # Period-64 pseudo-random weight table for the position-sensitive
+    # checksum component (fixed seed: keys must be stable across calls).
+    _CKSUM_W = np.random.default_rng(12345).standard_normal(64)
+
+    def _field_checksum(self, field_np: np.ndarray) -> tuple:
+        """NaN-safe content checksum with a position-sensitive component:
+        nansum alone can collide under compensating in-place edits (pixel
+        swaps, +x/-x pairs), so every element is also dotted against a
+        period-64 pseudo-random weight pattern — a sum-neutral edit changes
+        the weighted sum unless the edited positions sit 64k elements apart
+        AND compensate exactly under both weightings."""
+        flat = np.ravel(field_np)
+        n = (flat.size // 64) * 64
+        body = flat[:n].reshape(-1, 64)
+        w = self._CKSUM_W
+        wsum = float(np.nansum(np.nansum(body, axis=0, dtype=np.float64) * w))
+        wsum += float(np.nansum(flat[n:] * w[: flat.size - n]))
+        return (
+            float(np.nansum(flat, dtype=np.float64)),
+            wsum,
+            int(np.count_nonzero(np.isnan(flat))),
+        )
+
     def _device_field(self, field_np: np.ndarray) -> jax.Array:
         """Device copy of the field, memoized: iterative deblending
         re-extracts from the same field every step and the host->device
-        upload of a survey coadd is expensive.  Keyed on array identity
-        plus a full content checksum so ANY in-place edit of the same
-        ndarray (e.g. ``df.field_image[0] += ...``) invalidates the cache
-        instead of silently reusing stale device contents.  The checksum
-        (nansum + NaN count — NaN-safe so gap fields still key equal to
-        themselves) scans the whole array: ~0.1 s/GB, far cheaper than the
-        upload it guards and the only way not to miss small edits."""
+        upload of a survey coadd is expensive.  Keyed on array identity,
+        shape, dtype and the content checksum above so in-place edits of
+        the same ndarray (e.g. ``df.field_image[0] += ...``) — including
+        sum-neutral ones — invalidate the cache instead of silently
+        reusing stale device contents.  The checksum scans the whole
+        array (~0.2 s/GB), far cheaper than the upload it guards."""
         key = (
             id(field_np),
             field_np.shape,
-            float(np.nansum(field_np, dtype=np.float64)),
-            int(np.count_nonzero(np.isnan(field_np))),
-        )
+            str(field_np.dtype),
+        ) + self._field_checksum(field_np)
         if getattr(self, "_dev_field_key", None) != key:
             self._dev_field_key = key
             self._dev_field = jnp.asarray(field_np, jnp.float32)
@@ -352,6 +374,7 @@ class DeblendField:
         mse_criterion: float = 100.0,
         measure: bool = False,
         return_model: bool = False,
+        timings=None,
     ):
         """Survey-scale serving path: deblend every source AND assemble the
         residual in one device-resident pipeline.
@@ -372,16 +395,26 @@ class DeblendField:
         shaped like field_image; ``return_model=True`` appends the rendered
         model field: (catalog, residual, model).  The catalog holds the
         deblend_field columns minus the stamp images.
+
+        ``timings``: optional dict accumulating per-stage wall seconds
+        ('upload', 'deblend_render' — the streamed extract/forward/render —
+        and 'field_download'); also stored as ``self.serving_timings``.
         """
-        field_dev = self._device_field(self.field_image)
-        cols, model_dev, n_deblended = self._stream_deblend(
-            field_dev,
-            galaxy_distances_to_center,
-            optimise_positions=optimise_positions,
-            epistemic_criterion=epistemic_criterion,
-            mse_criterion=mse_criterion,
-            measure=measure,
-        )
+        from debvader_tpu.utils.profiling import stage_timer
+
+        t = timings if timings is not None else {}
+        self.serving_timings = t
+        with stage_timer(t, "upload"):
+            field_dev = self._device_field(self.field_image)
+        with stage_timer(t, "deblend_render"):
+            cols, model_dev, n_deblended = self._stream_deblend(
+                field_dev,
+                galaxy_distances_to_center,
+                optimise_positions=optimise_positions,
+                epistemic_criterion=epistemic_criterion,
+                mse_criterion=mse_criterion,
+                measure=measure,
+            )
 
         if n_deblended == 0:
             print("No galaxy deblended. End of the iterative procedure.")
@@ -389,11 +422,12 @@ class DeblendField:
                 return None, self.field_image.copy(), np.zeros_like(self.field_image[0])
             return None, self.field_image.copy()
 
-        residual_dev = field_dev[0] - model_dev
-        if return_model:
-            residual, model = jax.device_get((residual_dev, model_dev))
-        else:
-            residual = np.asarray(residual_dev)
+        with stage_timer(t, "field_download"):
+            residual_dev = field_dev[0] - model_dev
+            if return_model:
+                residual, model = jax.device_get((residual_dev, model_dev))
+            else:
+                residual = np.asarray(residual_dev)
         catalog = pd.DataFrame(cols).to_records(index=False)
         residual_field = self.field_image.copy()
         residual_field[0] = residual
@@ -603,7 +637,14 @@ class DeblendField:
         """Stamp stack for rendering.  If ``res_deblend`` is the recarray
         the last deblend_field call produced, the device-resident copy is
         returned (render_field consumes it directly, skipping a full
-        host->device re-upload of the stamp batch)."""
+        host->device re-upload of the stamp batch).
+
+        The cache key is recarray *identity*: editing stamp columns of the
+        returned recarray in place (e.g. masking one source's
+        output_images_mean) does NOT invalidate it — call
+        ``drop_render_cache()`` before re-rendering an edited recarray
+        (content-hashing the ~GB stamp stack per render would cost more
+        than the upload the cache saves on typical fields)."""
         cache = getattr(self, "_render_cache", None)
         if (
             cache is not None

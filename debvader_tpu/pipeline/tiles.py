@@ -47,6 +47,7 @@ def detect_objects_tiled(
     tile: int = 1024,
     overlap: int = 64,
     mesh=None,
+    timings=None,
 ) -> np.ndarray:
     """Tiled drop-in for detect_objects: (N, 2) offsets from field center.
 
@@ -57,6 +58,9 @@ def detect_objects_tiled(
     All tiles run as ONE batched device pass (the detection core is vmapped
     over the tile stack); with ``mesh`` the stack is sharded over the 'data'
     axis so detection fans out across chips.
+
+    ``timings``: optional dict accumulating per-stage wall seconds (the
+    detect_sources_batched stages plus 'tile_select').
     """
     det_cfg = det_cfg or DetectionConfig()
     # A device-resident field (e.g. the running residual of the streaming
@@ -73,9 +77,17 @@ def detect_objects_tiled(
     half = int(f / 2)
 
     if tile >= f:
-        from debvader_tpu.ops.detection import detect_objects
-
-        return detect_objects(np.asarray(img), det_cfg)
+        # Single-tile fields still go through the batched device core (a
+        # stack of one) — np.asarray here would force a device->host copy
+        # of the running residual every iterative step.
+        obj = detect_sources_batched(
+            jnp.asarray(img)[None], det_cfg, mesh=mesh, timings=timings
+        )[0]
+        if len(obj["y"]) == 0:
+            return np.zeros((0, 2))
+        return np.stack(
+            [np.round(-half + obj["y"]), np.round(-half + obj["x"])], axis=-1
+        )
 
     ys = tile_origins(f, tile, overlap)
     xs = tile_origins(f, tile, overlap)
@@ -100,21 +112,24 @@ def detect_objects_tiled(
     subs = jnp.stack(
         [img_dev[oy : oy + tile, ox : ox + tile] for oy in ys for ox in xs]
     )
-    objs = detect_sources_batched(subs, det_cfg, mesh=mesh)
+    objs = detect_sources_batched(subs, det_cfg, mesh=mesh, timings=timings)
+
+    from debvader_tpu.utils.profiling import stage_timer
 
     out = []
     k = 0
-    for oy, (y_lo, y_hi) in zip(ys, y_cores):
-        for ox, (x_lo, x_hi) in zip(xs, x_cores):
-            obj = objs[k]
-            k += 1
-            if len(obj["y"]) == 0:
-                continue
-            gy = obj["y"] + oy
-            gx = obj["x"] + ox
-            keep = (gy >= y_lo) & (gy < y_hi) & (gx >= x_lo) & (gx < x_hi)
-            for yy, xx in zip(gy[keep], gx[keep]):
-                out.append((np.round(-half + yy), np.round(-half + xx)))
+    with stage_timer(timings if timings is not None else {}, "tile_select"):
+        for oy, (y_lo, y_hi) in zip(ys, y_cores):
+            for ox, (x_lo, x_hi) in zip(xs, x_cores):
+                obj = objs[k]
+                k += 1
+                if len(obj["y"]) == 0:
+                    continue
+                gy = obj["y"] + oy
+                gx = obj["x"] + ox
+                keep = (gy >= y_lo) & (gy < y_hi) & (gx >= x_lo) & (gx < x_hi)
+                for yy, xx in zip(gy[keep], gx[keep]):
+                    out.append((np.round(-half + yy), np.round(-half + xx)))
     if not out:
         return np.zeros((0, 2))
     return np.asarray(out)
@@ -132,14 +147,20 @@ class TiledDeblendField(DeblendField):
         super().__init__(*args, **kwargs)
         self.det_cfg = det_cfg or DetectionConfig()
 
-    def detect(self) -> np.ndarray:
-        return detect_objects_tiled(
+    def detect(self, timings=None) -> np.ndarray:
+        """Tiled detection; per-stage wall times land in ``timings`` (or
+        ``self.detect_timings`` when not supplied)."""
+        t = timings if timings is not None else {}
+        centers = detect_objects_tiled(
             self.field_image,
             self.det_cfg,
             tile=self.cfg.tile_size,
             overlap=self.cfg.tile_overlap,
             mesh=self.mesh,
+            timings=t,
         )
+        self.detect_timings = t
+        return centers
 
     def detect_and_deblend(self, **kwargs):
         centers = self.detect()

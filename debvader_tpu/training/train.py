@@ -167,24 +167,29 @@ def make_train_step(
     model: DeblenderVAE,
     train_cfg: TrainConfig | None = None,
     weighted: bool = False,
+    donate: bool = True,
 ) -> Callable:
     """Build the jitted (state, x, y) -> (state, metrics) training step.
 
-    The input state's buffers are donated to the step: params, Adam moments
-    and BN stats are updated in place on device instead of being copied
-    every step (~100 MB/step for the full model), so the old state object
-    must not be read after the call — keep only the returned state (the
-    epoch loops here do exactly that).
+    With ``donate=True`` (default) the input state's buffers are donated to
+    the step: params, Adam moments and BN stats are updated in place on
+    device instead of being copied every step (~100 MB/step for the full
+    model).  The old state object must then not be read after the call —
+    keep only the returned state (the epoch loops here do exactly that).
+    Callers that hold a reference to the pre-step state (e.g. a
+    best-checkpoint pattern saving ``best = state`` before stepping) must
+    pass ``donate=False`` or they will hit deleted-buffer errors.
 
     ``weighted=True`` builds a (state, x, y, w) step using per-sample
     weights (zero-weight rows contribute nothing to loss or gradient).
     """
     train_cfg = train_cfg or TrainConfig()
     loss_fn = make_loss_fn(model, train_cfg)
+    donate_argnums = (0,) if donate else ()
 
     if weighted:
 
-        @partial(jax.jit, donate_argnums=(0,))
+        @partial(jax.jit, donate_argnums=donate_argnums)
         def train_step_w(state: TrainState, x, y, w):
             rng, new_rng = jax.random.split(state.rng)
             grads, (terms, new_bs) = jax.grad(loss_fn, has_aux=True)(
@@ -194,7 +199,7 @@ def make_train_step(
 
         return train_step_w
 
-    @partial(jax.jit, donate_argnums=(0,))
+    @partial(jax.jit, donate_argnums=donate_argnums)
     def train_step(state: TrainState, x: jax.Array, y: jax.Array):
         rng, new_rng = jax.random.split(state.rng)
         grads, (terms, new_bs) = jax.grad(loss_fn, has_aux=True)(

@@ -72,6 +72,11 @@ def main():
 
     centers = stage("detect_tiled", tdf.detect)
     print(f"  detections: {len(centers)}", flush=True)
+    print(
+        "  detect stages (steady): "
+        + " ".join(f"{k}={v:.3f}s" for k, v in tdf.detect_timings.items()),
+        flush=True,
+    )
     res = stage("deblend_field", lambda: tdf.deblend_field(centers))
     print(f"  deblended: {len(res.cutout_images)}", flush=True)
     stage("residual_field", lambda: tdf.get_residual_field(res))

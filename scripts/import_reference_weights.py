@@ -26,6 +26,13 @@ def main() -> int:
     ap.add_argument(
         "--stamps", default=None, help="optional .npy stamp batch for a parity run"
     )
+    ap.add_argument(
+        "--assert-parity",
+        action="store_true",
+        help="after import, run the DC2 fidelity check (<=1e-4 rel. flux vs "
+        "the reference Keras outputs; needs tensorflow or "
+        "DEBVADER_REFERENCE_OUTPUTS) and fail loudly if it does not hold",
+    )
     args = ap.parse_args()
 
     import jax
@@ -53,6 +60,15 @@ def main() -> int:
         print(
             f"forward ok on {stamps.shape}: mean flux "
             f"{mean.sum(axis=(1, 2, 3))[:5]}"
+        )
+
+    if args.assert_parity:
+        from debvader_tpu.utils.parity import dc2_parity_check
+
+        result = dc2_parity_check(args.ckpt, tol=1e-4)
+        print(
+            f"DC2 parity OK: max rel flux {result['max_rel_flux']:.3e} "
+            f"(<= 1e-4), max abs pixel {result['max_abs_pix']:.3e}"
         )
     return 0
 
