@@ -83,30 +83,60 @@ def _sigma_clipped_stats(boxes: jax.Array, iters: int = 3, valid=None):
 
     ``valid``: optional (G, G, P) float mask of usable pixels (non-finite
     pixels — chip gaps, saturation — enter as 0 with valid=0 and never
-    rejoin the statistics)."""
+    rejoin the statistics).
+
+    Each clip iteration's membership is ``valid & |x - med| <= 3*std +
+    1e-12`` — a VALUE interval recomputed from scratch every round — so
+    instead of re-sorting every box per iteration (the naive formulation:
+    iters+1 = 4 full sorts, measured as ~3/4 of the whole fused detect
+    core's device time at the 16x1024^2 production shape) the pixels are
+    sorted ONCE with invalid -> +inf (valid values form a prefix), and each
+    iteration reduces to two predicate-count passes locating the clip
+    interval [a, b) in sorted order, prefix-sum differences for mean and
+    variance, and one gather for the median.  The selected subset, the
+    median index ((count-1)//2 in the subset's sorted order) and the
+    empty-mask resurrection quirk (an empty clip admits genuinely
+    zero-valued pixels next round, |x| <= 1e-12) are exactly the naive
+    formulation's; only float summation order differs."""
     if valid is None:
         valid = jnp.ones_like(boxes)
+    p = boxes.shape[-1]
+    vm = valid > 0
+    cnt_all = vm.sum(-1).astype(jnp.int32)
+    s = jnp.sort(jnp.where(vm, boxes, jnp.inf), axis=-1)
+    finite = jnp.isfinite(s)
+    # Center the prefix sums on the unclipped mean so the variance's
+    # sum-of-squares difference stays well-conditioned in float32.
+    c = jnp.where(finite, s, 0.0).sum(-1) / jnp.maximum(cnt_all, 1)
+    y = jnp.where(finite, s - c[..., None], 0.0)
+    zero = jnp.zeros_like(y[..., :1])
+    ps = jnp.concatenate([zero, jnp.cumsum(y, -1)], -1)
+    ps2 = jnp.concatenate([zero, jnp.cumsum(y * y, -1)], -1)
+
+    def take(t, i):
+        return jnp.take_along_axis(t, i[..., None], -1)[..., 0]
+
+    def range_stats(a, b):
+        n = jnp.maximum(b - a, 1)
+        mean_y = (take(ps, b) - take(ps, a)) / n
+        var = jnp.maximum((take(ps2, b) - take(ps2, a)) / n - jnp.square(mean_y), 0.0)
+        midx = jnp.clip(a + jnp.maximum(b - a - 1, 0) // 2, 0, p - 1)
+        med = jnp.where(b > a, take(s, midx), 0.0)
+        mean = jnp.where(b > a, mean_y + c, 0.0)
+        return mean, med, jnp.sqrt(var)
 
     def one_iter(state, _):
-        mask = state
-        def masked_stat(x, m):
-            cnt = jnp.maximum(m.sum(-1), 1.0)
-            mean = (x * m).sum(-1) / cnt
-            var = (jnp.square(x - mean[..., None]) * m).sum(-1) / cnt
-            return mean, jnp.sqrt(var)
+        a, b = state
+        _, med, std = range_stats(a, b)
+        thr = 3.0 * std + 1e-12
+        a2 = jnp.sum(s < (med - thr)[..., None], -1).astype(jnp.int32)
+        b2 = jnp.sum(s <= (med + thr)[..., None], -1).astype(jnp.int32)
+        return (a2, b2), None
 
-        mean, std = masked_stat(boxes, mask)
-        med = _masked_median(boxes, mask)
-        new_mask = (jnp.abs(boxes - med[..., None]) <= 3.0 * std[..., None] + 1e-12)
-        return new_mask.astype(jnp.float32) * valid, None
-
-    mask, _ = jax.lax.scan(one_iter, valid, None, length=iters)
-    cnt = jnp.maximum(mask.sum(-1), 1.0)
-    mean = (boxes * mask).sum(-1) / cnt
-    var = (jnp.square(boxes - mean[..., None]) * mask).sum(-1) / cnt
-    std = jnp.sqrt(var)
-    med = _masked_median(boxes, mask)
-    return mean, med, std
+    (a, b), _ = jax.lax.scan(
+        one_iter, (jnp.zeros_like(cnt_all), cnt_all), None, length=iters
+    )
+    return range_stats(a, b)
 
 
 def _masked_median(x: jax.Array, mask: jax.Array) -> jax.Array:

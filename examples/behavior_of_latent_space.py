@@ -10,6 +10,11 @@ notebooks/behavior_of_latent_space.ipynb:
 Run: python examples/behavior_of_latent_space.py
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import numpy as np
 import jax
 

@@ -6,6 +6,11 @@ and check output parity against the live model.
 Run: python examples/export_deblender.py
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import numpy as np
 import jax
 

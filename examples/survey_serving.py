@@ -17,6 +17,11 @@ drivers on the bundled DC2 field (swap in a 4kx4k coadd unchanged):
 Run: python examples/survey_serving.py
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import numpy as np
 import jax
 
