@@ -278,6 +278,52 @@ def test_detection_degenerate_fields():
     assert d.min() < 1.5
 
 
+def test_sigma_clip_sort_once_matches_naive():
+    """_sigma_clipped_stats sorts each box once and runs the clip
+    iterations as value-interval range statistics; this pins it against the
+    naive formulation (mask recomputed per iteration, re-sorted median) on
+    outlier-contaminated, partially-masked, fully-masked and all-zero boxes
+    (the empty-clip resurrection quirk)."""
+    import jax
+    import jax.numpy as jnp
+
+    from debvader_tpu.ops.detection import _masked_median, _sigma_clipped_stats
+
+    def naive(boxes, iters=3, valid=None):
+        mask = valid if valid is not None else jnp.ones_like(boxes)
+        for _ in range(iters + 1):
+            cnt = jnp.maximum(mask.sum(-1), 1.0)
+            mean = (boxes * mask).sum(-1) / cnt
+            var = (jnp.square(boxes - mean[..., None]) * mask).sum(-1) / cnt
+            std = jnp.sqrt(var)
+            med = _masked_median(boxes, mask)
+            new = jnp.abs(boxes - med[..., None]) <= 3.0 * std[..., None] + 1e-12
+            mask = new.astype(jnp.float32) * (
+                valid if valid is not None else jnp.ones_like(boxes)
+            )
+        return mean, med, std
+
+    rng = np.random.default_rng(0)
+    for trial in range(4):
+        g, p = 6, 128
+        data = rng.normal(3.0, 0.05, size=(g, g, p)).astype(np.float32)
+        hot = rng.random((g, g, p)) < 0.02
+        data[hot] += rng.uniform(1, 30, hot.sum()).astype(np.float32)
+        valid = (rng.random((g, g, p)) > (0.3 if trial % 2 else 0.0)).astype(
+            np.float32
+        )
+        if trial == 2:
+            valid[0, 0, :] = 0  # fully-masked box
+        if trial == 3:
+            data[1, 1, :] = 0.0  # all-zero box
+        b = jnp.asarray(np.where(valid > 0, data, 0.0))
+        v = jnp.asarray(valid)
+        want = jax.device_get(naive(b, valid=v))
+        got = jax.device_get(_sigma_clipped_stats(b, valid=v))
+        for name, x1, x2 in zip(("mean", "med", "std"), want, got):
+            np.testing.assert_allclose(x2, x1, atol=5e-5, err_msg=f"{trial}/{name}")
+
+
 def test_background_gap_boxes_filled_from_valid():
     """A chip gap covering whole background boxes must not drag the mesh or
     the global estimates toward 0 (gap boxes are filled with the median of
