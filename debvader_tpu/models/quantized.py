@@ -1,0 +1,437 @@
+"""Post-training int8 quantization of the deblender's serving forward.
+
+Why: the bf16 forward is measured at ~156 TF/s on its conv stages —
+~80% of a v5e chip's bf16 peak (docs/DESIGN.md §4) — so the one remaining
+large single-chip inference lever is the MXU's 2x int8 rate.  This module
+implements standard symmetric post-training quantization (PTQ) for the
+VAE's matmul-heavy layers:
+
+- **weights**: per-output-channel symmetric int8
+  (scale = max|w| / 127 along the output-channel axis);
+- **activations**: per-tensor symmetric int8, scales calibrated from the
+  max absolute activation over a calibration batch at exactly the points
+  where the serving forward quantizes;
+- **accumulation**: s8 x s8 -> s32 (``preferred_element_type=int32``),
+  dequantized with the combined ``act_scale * w_scale[c]`` factor before
+  bias/PReLU, which stay in the float compute dtype.
+
+What is quantized: all encoder convs, the encoder's big Dense
+(4096 -> 560), the decoder's big Dense (560 -> 4096) and all decoder
+transposed convs.  What stays float: BatchNorm (bandwidth-bound), PReLU,
+the latent head (fill_triangular/sample — tiny), the decoder's small
+Dense (the 32-dim latent is too information-dense to clip to 256 levels),
+and — by default — the final 12-channel conv, whose outputs are the
+Normal head's loc/scale and deserve full precision at negligible cost
+(~3% of decoder FLOPs).
+
+This is an OPT-IN serving mode: the reference contract (PARITY.md) is the
+float path; int8 trades a measured, documented accuracy delta for
+throughput.  There is no reference counterpart (the reference serves in
+float32 TF eager, deblend_cutout/deblender.py:6-25); the nearest analogue
+is its tf2onnx export path (notebooks/deblender_to_onnx.ipynb), which also
+re-expresses the trained graph for a faster serving runtime.
+
+The float path of ``_forward`` is asserted bit-identical to the Flax
+modules (tests/test_quantized.py) so the quantized path provably diverges
+from the production forward only at the quantization points.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from debvader_tpu.config import ModelConfig
+from debvader_tpu.models.distributions import (
+    MultivariateNormalTriL,
+    PixelNormal,
+    mvn_params_size,
+    softplus_tril,
+)
+from debvader_tpu.models.vae import DeblenderVAE
+
+__all__ = [
+    "QuantizedVAE",
+    "quantize_vae",
+    "quantized_forward",
+    "make_quantized_forward",
+]
+
+
+# --------------------------------------------------------------------- utils
+
+
+def _prelu(h: jax.Array, alpha: jax.Array) -> jax.Array:
+    a = alpha.astype(h.dtype)
+    return jnp.maximum(h, 0) + a * jnp.minimum(h, 0)
+
+
+def _batchnorm_inference(
+    x: jax.Array, p: dict, stats: dict, dtype, eps: float = 1e-3
+) -> jax.Array:
+    """Keras/Flax BatchNorm in inference mode (running stats), matching
+    flax.linen._normalize op order bit-for-bit: y = (x - mean) *
+    (rsqrt(var + eps) * scale) + bias, computed in f32, cast to dtype."""
+    mean = stats["mean"].astype(jnp.float32)
+    var = stats["var"].astype(jnp.float32)
+    y = x.astype(jnp.float32) - mean
+    mul = lax.rsqrt(var + eps) * p["scale"].astype(jnp.float32)
+    y = y * mul + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def _quant_weight(kernel: jax.Array, out_axis: int) -> tuple[jax.Array, jax.Array]:
+    """Per-output-channel symmetric int8: returns (q_kernel int8, scale f32
+    shaped (C_out,))."""
+    k = kernel.astype(jnp.float32)
+    axes = tuple(a for a in range(k.ndim) if a != out_axis)
+    absmax = jnp.max(jnp.abs(k), axis=axes)
+    scale = jnp.maximum(absmax, 1e-30) / 127.0
+    shape = [1] * k.ndim
+    shape[out_axis] = -1
+    q = jnp.clip(jnp.round(k / scale.reshape(shape)), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _quant_act(h: jax.Array, scale: jax.Array) -> jax.Array:
+    q = jnp.round(h.astype(jnp.float32) / scale)
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+
+def _amax(h: jax.Array) -> jax.Array:
+    return jnp.max(jnp.abs(h.astype(jnp.float32)))
+
+
+# ----------------------------------------------------------------- container
+
+
+@dataclass
+class QuantizedVAE:
+    """A quantized serving bundle: the float model + calibrated int8 data.
+
+    ``qweights[name] = (q_kernel int8, w_scale f32 (Cout,))`` and
+    ``act_scales[name]`` is the per-tensor input scale for layer ``name``
+    (keys like "enc/Conv_0", "dec/ConvTranspose2DTF_3").  Layers absent
+    from ``qweights`` run in float."""
+
+    model: DeblenderVAE
+    variables: Any
+    qweights: dict[str, tuple[jax.Array, jax.Array]]
+    act_scales: dict[str, jax.Array]
+    quantize_dense: bool = True
+    quantize_final_conv: bool = False
+    calib_stats: dict[str, float] = field(default_factory=dict)
+
+    @property
+    def cfg(self) -> ModelConfig:
+        return self.model.cfg
+
+
+# ------------------------------------------------------------------- layers
+
+
+def _apply_conv(
+    h: jax.Array,
+    name: str,
+    params: dict,
+    strides: tuple[int, int],
+    qw: dict | None,
+    ascales: dict | None,
+    collect: dict | None,
+    dtype,
+) -> jax.Array:
+    """Conv3x3 SAME, float or int8 depending on whether `name` is quantized."""
+    p = params[name.split("/")[-1]]
+    if collect is not None:
+        collect[name] = _amax(h)
+    if qw is not None and name in qw:
+        qk, wscale = qw[name]
+        s_in = ascales[name]
+        y = lax.conv_general_dilated(
+            _quant_act(h, s_in),
+            qk,
+            strides,
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (s_in * wscale)
+        y = (y + p["bias"].astype(jnp.float32)).astype(dtype)
+        return y
+    # float path: mirrors flax nn.Conv(dtype=dtype) — kernel cast to dtype
+    y = lax.conv_general_dilated(
+        h.astype(dtype),
+        p["kernel"].astype(dtype),
+        strides,
+        "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + p["bias"].astype(dtype)
+
+
+def _apply_convT(
+    h: jax.Array,
+    name: str,
+    params: dict,
+    strides: tuple[int, int],
+    qw: dict | None,
+    ascales: dict | None,
+    collect: dict | None,
+    dtype,
+) -> jax.Array:
+    """TF-semantics ConvTranspose (layers.ConvTranspose2DTF), float or int8.
+
+    The stored kernel is TF layout (kh, kw, out_T, in_T) == forward HWIO
+    under transpose_kernel=True; the convT's output channels live on
+    axis 2, so per-output-channel weight scales index that axis."""
+    p = params[name.split("/")[-1]]
+    if collect is not None:
+        collect[name] = _amax(h)
+    if qw is not None and name in qw:
+        qk, wscale = qw[name]
+        s_in = ascales[name]
+        y = lax.conv_transpose(
+            _quant_act(h, s_in),
+            qk,
+            strides=strides,
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True,
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (s_in * wscale)
+        return (y + p["bias"].astype(jnp.float32)).astype(dtype)
+    y = lax.conv_transpose(
+        h.astype(dtype),
+        p["kernel"].astype(dtype),
+        strides=strides,
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        transpose_kernel=True,
+    )
+    return y + p["bias"].astype(dtype)
+
+
+def _apply_dense(
+    h: jax.Array,
+    name: str,
+    params: dict,
+    qw: dict | None,
+    ascales: dict | None,
+    collect: dict | None,
+    dtype,
+) -> jax.Array:
+    p = params[name.split("/")[-1]]
+    if collect is not None:
+        collect[name] = _amax(h)
+    if qw is not None and name in qw:
+        qk, wscale = qw[name]
+        s_in = ascales[name]
+        y = lax.dot_general(
+            _quant_act(h, s_in),
+            qk,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (s_in * wscale)
+        return (y + p["bias"].astype(jnp.float32)).astype(dtype)
+    return h.astype(dtype) @ p["kernel"].astype(dtype) + p["bias"].astype(dtype)
+
+
+# ------------------------------------------------------------------ forward
+
+
+def _forward(
+    cfg: ModelConfig,
+    variables: Any,
+    x: jax.Array,
+    rng: jax.Array | None,
+    z_mode: str,
+    qw: dict | None,
+    ascales: dict | None,
+    collect: dict | None,
+) -> tuple[PixelNormal, MultivariateNormalTriL]:
+    """The VAE serving forward, re-expressed functionally so each matmul
+    can run int8.  With qw=None this is bit-identical to
+    DeblenderVAE.apply (asserted in tests), mirroring models/vae.py."""
+    enc = variables["params"]["encoder"]
+    dec = variables["params"]["decoder"]
+    bn_stats = variables["batch_stats"]["encoder"]["BatchNorm_0"]
+    dtype = cfg.compute_dtype
+    nf = len(cfg.filters)
+
+    # ----- encoder (models/vae.py:58-82; reference model/model.py:61-100)
+    h = _batchnorm_inference(x.astype(dtype), enc["BatchNorm_0"], bn_stats, dtype)
+    for i in range(nf):
+        h = _apply_conv(h, f"enc/Conv_{2 * i}", enc, (1, 1), qw, ascales, collect, dtype)
+        h = _prelu(h, enc[f"PReLU_{2 * i}"]["alpha"])
+        h = _apply_conv(h, f"enc/Conv_{2 * i + 1}", enc, (2, 2), qw, ascales, collect, dtype)
+        h = _prelu(h, enc[f"PReLU_{2 * i + 1}"]["alpha"])
+    h = h.reshape(h.shape[0], -1)
+    h = _prelu(h, enc[f"PReLU_{2 * nf}"]["alpha"])
+    h = _apply_dense(h, "enc/Dense_0", enc, qw, ascales, collect, dtype)
+    params_flat = h.astype(jnp.float32)
+    loc, tril = softplus_tril(params_flat, cfg.latent_dim, cfg.diag_shift)
+    posterior = MultivariateNormalTriL(loc, tril)
+
+    if z_mode == "sample":
+        if rng is None:
+            raise ValueError("z_mode='sample' requires an rng key")
+        z = posterior.sample(rng)
+    elif z_mode == "mean":
+        z = posterior.mean()
+    else:
+        raise ValueError(f"unknown z_mode {z_mode!r}")
+
+    # ----- decoder (models/vae.py:90-127; reference model/model.py:103-161)
+    w = int(math.ceil(cfg.stamp_size / 2 ** nf))
+    h = _prelu(z.astype(dtype), dec["PReLU_0"]["alpha"])
+    # small Dense (latent -> 560): always float — see module docstring
+    h = _apply_dense(h, "dec/Dense_0", dec, None, None, collect, dtype)
+    h = _prelu(h, dec["PReLU_1"]["alpha"])
+    dense2_dtype = jnp.float32 if cfg.strict_cast else dtype
+    h = _apply_dense(
+        h.astype(dense2_dtype), "dec/Dense_1", dec, qw, ascales, collect, dense2_dtype
+    )
+    h = _prelu(h, dec["PReLU_2"]["alpha"])
+    h = h.reshape(h.shape[0], w, w, cfg.filters[-1]).astype(dtype)
+    for j in range(nf):
+        i = nf - 1 - j
+        k = (cfg.kernels[i], cfg.kernels[i])
+        h = _apply_convT(
+            h, f"dec/ConvTranspose2DTF_{2 * j}", dec, (2, 2), qw, ascales, collect, dtype
+        )
+        h = _prelu(h, dec[f"PReLU_{3 + 2 * j}"]["alpha"])
+        h = _apply_convT(
+            h, f"dec/ConvTranspose2DTF_{2 * j + 1}", dec, (1, 1), qw, ascales, collect, dtype
+        )
+        h = _prelu(h, dec[f"PReLU_{4 + 2 * j}"]["alpha"])
+    h = _apply_conv(h, "dec/Conv_0", dec, (1, 1), qw, ascales, collect, dtype)
+    h = jax.nn.relu(h)
+    crop = h.shape[1] - cfg.stamp_size
+    if crop > 0:
+        lo = crop // 2
+        hi = h.shape[1] - (crop - lo)
+        h = h[:, lo:hi, lo:hi, :]
+    h = h.astype(jnp.float32)
+    return (
+        PixelNormal(h[..., : cfg.nb_of_bands], cfg.scale_floor + h[..., cfg.nb_of_bands :]),
+        posterior,
+    )
+
+
+# ----------------------------------------------------------------- user API
+
+
+def _layer_names(cfg: ModelConfig, quantize_dense: bool, quantize_final_conv: bool):
+    nf = len(cfg.filters)
+    names = [f"enc/Conv_{i}" for i in range(2 * nf)]
+    names += [f"dec/ConvTranspose2DTF_{i}" for i in range(2 * nf)]
+    if quantize_dense:
+        names += ["enc/Dense_0", "dec/Dense_1"]
+    if quantize_final_conv:
+        names += ["dec/Conv_0"]
+    return names
+
+
+def quantize_vae(
+    model: DeblenderVAE,
+    variables: Any,
+    calib_images: jax.Array,
+    rng: jax.Array | None = None,
+    quantize_dense: bool = True,
+    quantize_final_conv: bool = False,
+) -> QuantizedVAE:
+    """Calibrate activation scales on `calib_images` and quantize weights.
+
+    Calibration runs the float forward once (jitted) and records the max
+    absolute activation at every quantization point; representative stamps
+    (a few hundred covering the survey's flux range) are enough — scales
+    are max-abs, so extra images only ever widen them."""
+    cfg = model.cfg
+    x = jnp.asarray(calib_images, jnp.float32)
+    x = jnp.where(jnp.isfinite(x), x, 0.0)
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+
+    @jax.jit
+    def calib(variables, x, rng):
+        collect: dict[str, jax.Array] = {}
+        # sample mode so the decoder sees the latent spread it will serve
+        _forward(cfg, variables, x, rng, "sample", None, None, collect)
+        return collect
+
+    amax = calib(variables, x, rng)
+    act_scales = {
+        name: jnp.maximum(a, 1e-30) / 127.0 for name, a in amax.items()
+    }
+
+    names = _layer_names(cfg, quantize_dense, quantize_final_conv)
+    qweights: dict[str, tuple[jax.Array, jax.Array]] = {}
+    for name in names:
+        scope, layer = name.split("/")
+        p = variables["params"]["encoder" if scope == "enc" else "decoder"][layer]
+        # conv HWIO -> out axis 3; convT TF layout (kh,kw,out,in) -> axis 2;
+        # dense (in, out) -> axis 1
+        if layer.startswith("ConvTranspose"):
+            out_axis = 2
+        elif layer.startswith("Conv"):
+            out_axis = 3
+        else:
+            out_axis = 1
+        qweights[name] = _quant_weight(p["kernel"], out_axis)
+
+    calib_stats = {k: float(v) for k, v in amax.items()}
+    return QuantizedVAE(
+        model=model,
+        variables=variables,
+        qweights=qweights,
+        act_scales=act_scales,
+        quantize_dense=quantize_dense,
+        quantize_final_conv=quantize_final_conv,
+        calib_stats=calib_stats,
+    )
+
+
+def quantized_forward(
+    qv: QuantizedVAE,
+    images: jax.Array,
+    rng: jax.Array | None = None,
+    z_mode: str = "sample",
+    quant: bool = True,
+) -> tuple[PixelNormal, MultivariateNormalTriL]:
+    """One quantized (or, with quant=False, float-reference) forward.
+
+    Not jitted — use make_quantized_forward for the serving loop."""
+    x = jnp.asarray(images, jnp.float32)
+    x = jnp.where(jnp.isfinite(x), x, 0.0)
+    return _forward(
+        qv.cfg,
+        qv.variables,
+        x,
+        rng,
+        z_mode,
+        qv.qweights if quant else None,
+        qv.act_scales if quant else None,
+        None,
+    )
+
+
+def make_quantized_forward(qv: QuantizedVAE, z_mode: str = "sample"):
+    """Jitted serving closure: (variables, qweights, act_scales, images,
+    rng) are traced so recalibration or weight updates don't recompile."""
+    cfg = qv.cfg
+
+    @jax.jit
+    def fwd(variables, qweights, act_scales, images, rng):
+        x = jnp.asarray(images, jnp.float32)
+        x = jnp.where(jnp.isfinite(x), x, 0.0)
+        dist, _ = _forward(cfg, variables, x, rng, z_mode, qweights, act_scales, None)
+        return dist.loc, dist.scale
+
+    return partial(fwd, qv.variables, qv.qweights, qv.act_scales)

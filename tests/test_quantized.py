@@ -1,0 +1,152 @@
+"""int8 post-training quantization (models/quantized.py).
+
+The float path of the re-expressed forward must be BIT-IDENTICAL to the
+Flax modules — that pin is what makes the int8 path's divergence
+attributable to quantization alone.  Accuracy bounds are ~5x the measured
+values on XLA CPU fp32 (sim_demo weights): total-stamp flux rel err
+0.0008-0.002 measured, pixel RMSE ratio 0.005-0.0065.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from debvader_tpu.config import ModelConfig
+from debvader_tpu.models import quantized as q
+from debvader_tpu.models.vae import DeblenderVAE, init_vae
+
+TINY = ModelConfig(stamp_size=23, nb_of_bands=3, latent_dim=8, filters=(8, 16), kernels=(3, 3))
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model = DeblenderVAE(TINY)
+    variables = init_vae(model, jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 23, 23, 3)), jnp.float32
+    )
+    return model, variables, x
+
+
+def test_float_path_bit_identical(tiny):
+    model, variables, x = tiny
+    rng = jax.random.PRNGKey(1)
+    dist_ref, post_ref = model.apply(variables, x, rng=rng)
+    qv = q.quantize_vae(model, variables, x, rng=rng)
+    dist_f, post_f = q.quantized_forward(qv, x, rng=rng, quant=False)
+    assert np.array_equal(np.asarray(dist_f.loc), np.asarray(dist_ref.loc))
+    assert np.array_equal(np.asarray(dist_f.scale), np.asarray(dist_ref.scale))
+    assert np.array_equal(np.asarray(post_f.loc), np.asarray(post_ref.loc))
+    assert np.array_equal(
+        np.asarray(post_f.scale_tril), np.asarray(post_ref.scale_tril)
+    )
+
+
+def test_float_path_bit_identical_bf16(tiny):
+    _, variables, x = tiny
+    model16 = DeblenderVAE(
+        ModelConfig(
+            stamp_size=23, nb_of_bands=3, latent_dim=8, filters=(8, 16),
+            kernels=(3, 3), dtype="bfloat16", strict_cast=False,
+        )
+    )
+    rng = jax.random.PRNGKey(1)
+    dist_ref, _ = model16.apply(variables, x, rng=rng)
+    qv = q.quantize_vae(model16, variables, x, rng=rng)
+    dist_f, _ = q.quantized_forward(qv, x, rng=rng, quant=False)
+    assert np.array_equal(np.asarray(dist_f.loc), np.asarray(dist_ref.loc))
+
+
+def test_weight_quantization_roundtrip(tiny):
+    model, variables, x = tiny
+    qv = q.quantize_vae(model, variables, x, rng=jax.random.PRNGKey(1))
+    # every quantized kernel reconstructs within half a quantization step
+    for name, (qk, scale) in qv.qweights.items():
+        scope, layer = name.split("/")
+        p = variables["params"]["encoder" if scope == "enc" else "decoder"][layer]
+        k = np.asarray(p["kernel"], np.float64)
+        if layer.startswith("ConvTranspose"):
+            out_axis = 2
+        elif layer.startswith("Conv"):
+            out_axis = 3
+        else:
+            out_axis = 1
+        shape = [1] * k.ndim
+        shape[out_axis] = -1
+        s = np.asarray(scale, np.float64).reshape(shape)
+        recon = np.asarray(qk, np.float64) * s
+        assert np.max(np.abs(recon - k) / s) <= 0.5 + 1e-6, name
+        assert qk.dtype == jnp.int8
+    # coverage: all convs + convTs + the two big Denses
+    nf = len(TINY.filters)
+    assert len(qv.qweights) == 4 * nf + 2
+
+
+def test_quantized_outputs_close(tiny):
+    model, variables, x = tiny
+    rng = jax.random.PRNGKey(1)
+    qv = q.quantize_vae(model, variables, x, rng=rng)
+    dist_ref, _ = model.apply(variables, x, rng=rng)
+    dist_q, _ = q.quantized_forward(qv, x, rng=rng)
+    lr, lq = np.asarray(dist_ref.loc), np.asarray(dist_q.loc)
+    assert np.all(np.isfinite(lq))
+    # random-init outputs are near zero; bound absolute error vs output span
+    span = max(lr.max() - lr.min(), 1e-6)
+    assert np.max(np.abs(lq - lr)) < 0.1 * span
+
+
+def test_jitted_closure_matches_unjitted(tiny):
+    model, variables, x = tiny
+    rng = jax.random.PRNGKey(2)
+    qv = q.quantize_vae(model, variables, x, rng=rng)
+    fwd = q.make_quantized_forward(qv, z_mode="mean")
+    loc, scale = fwd(x, rng)
+    dist_q, _ = q.quantized_forward(qv, x, rng=rng, z_mode="mean")
+    np.testing.assert_allclose(np.asarray(loc), np.asarray(dist_q.loc), rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(scale), np.asarray(dist_q.scale), rtol=1e-6, atol=1e-8)
+
+
+def test_trained_weights_flux_fidelity():
+    """End-to-end accuracy with the shipped trained weights: calibrate on
+    one simulated batch, evaluate on a disjoint one.  Measured on CPU
+    fp32: flux rel err max 0.001, pixel RMSE ratio 0.005 — bounds 5-10x."""
+    import debvader_tpu as dt
+    from debvader_tpu.data.simulate import simulate_batch
+    from debvader_tpu.training.checkpoint import default_weights_dir
+
+    if not (default_weights_dir() / "sim_demo").exists():
+        pytest.skip("sim_demo weights not present")
+    model, variables = dt.load_deblender("sim_demo")
+    calib, _, _ = simulate_batch(jax.random.PRNGKey(5), 48)
+    test, _, _ = simulate_batch(jax.random.PRNGKey(9), 24)
+    qv = q.quantize_vae(model, variables, calib)
+    dist_ref, _ = model.apply(variables, test, z_mode="mean")
+    dist_q, _ = q.quantized_forward(qv, test, z_mode="mean")
+    lr, lq = np.asarray(dist_ref.loc), np.asarray(dist_q.loc)
+    tot_r, tot_q = lr.sum(axis=(1, 2, 3)), lq.sum(axis=(1, 2, 3))
+    rel = np.abs(tot_q - tot_r) / tot_r
+    assert rel.max() < 0.01, f"total-stamp flux rel err {rel.max():.4f}"
+    rmse_ratio = np.sqrt(((lq - lr) ** 2).mean()) / np.sqrt((lr**2).mean())
+    assert rmse_ratio < 0.03, f"pixel RMSE ratio {rmse_ratio:.4f}"
+    sr, sq = np.asarray(dist_ref.scale), np.asarray(dist_q.scale)
+    srel = abs(sq.sum() - sr.sum()) / sr.sum()
+    assert srel < 0.01, f"scale flux rel err {srel:.4f}"
+
+
+def test_sampled_mode_statistics(tiny):
+    """Sampled forwards through the int8 path stay statistically aligned
+    with the float path (same rng -> same latent draw; the decoder is the
+    only divergence)."""
+    model, variables, x = tiny
+    rng = jax.random.PRNGKey(3)
+    qv = q.quantize_vae(model, variables, x, rng=rng)
+    dist_ref, post_ref = model.apply(variables, x, rng=rng)
+    dist_q, post_q = q.quantized_forward(qv, x, rng=rng)
+    # encoder quantization perturbs the posterior slightly but finitely
+    assert np.all(np.isfinite(np.asarray(post_q.loc)))
+    assert np.all(np.isfinite(np.asarray(dist_q.loc)))
+    # posterior locs must be close (encoder-only error)
+    dl = np.max(np.abs(np.asarray(post_q.loc) - np.asarray(post_ref.loc)))
+    spread = np.asarray(post_ref.loc).std() + 1e-9
+    assert dl < 1.0 * spread + 0.1
