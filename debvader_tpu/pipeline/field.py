@@ -375,6 +375,7 @@ class DeblendField:
         measure: bool = False,
         return_model: bool = False,
         timings=None,
+        transfer_dtype=None,
     ):
         """Survey-scale serving path: deblend every source AND assemble the
         residual in one device-resident pipeline.
@@ -399,6 +400,15 @@ class DeblendField:
         ``timings``: optional dict accumulating per-stage wall seconds
         ('upload', 'deblend_render' — the streamed extract/forward/render —
         and 'field_download'); also stored as ``self.serving_timings``.
+
+        ``transfer_dtype``: optional reduced precision ('bfloat16' or
+        'float16') for the residual/model field device->host copy — the
+        dominant byte cost at survey scale (an 8k×8k×6 float32 field is
+        1.6 GB).  The cast happens on device, halving the bytes on the
+        link; the returned arrays are cast back to the field's dtype on
+        host.  bfloat16 keeps float32's range with ~3 significant digits
+        (apt for residuals); float16 carries ~4 digits but clips beyond
+        ±65504.  None (default) transfers at full precision.
         """
         from debvader_tpu.utils.profiling import stage_timer
 
@@ -424,10 +434,18 @@ class DeblendField:
 
         with stage_timer(t, "field_download"):
             residual_dev = field_dev[0] - model_dev
+            if transfer_dtype is not None:
+                td = jnp.dtype(transfer_dtype)
+                residual_dev = residual_dev.astype(td)
+                model_dev = model_dev.astype(td)
             if return_model:
                 residual, model = jax.device_get((residual_dev, model_dev))
+                if transfer_dtype is not None:
+                    model = np.asarray(model, self.field_image.dtype)
             else:
                 residual = np.asarray(residual_dev)
+            if transfer_dtype is not None:
+                residual = np.asarray(residual, self.field_image.dtype)
         catalog = pd.DataFrame(cols).to_records(index=False)
         residual_field = self.field_image.copy()
         residual_field[0] = residual

@@ -118,6 +118,7 @@ class IterativeDeblendField(DeblendField):
         measure: bool = False,
         det_cfg=None,
         max_iterations: int = 20,
+        transfer_dtype=None,
     ):
         """Survey-scale iterative detect-subtract-repeat, device-resident.
 
@@ -139,7 +140,9 @@ class IterativeDeblendField(DeblendField):
         zero detections/deblends, plus a ``max_iterations`` safety bound.
 
         Returns (catalog_recarray, residual_field); the catalog gains an
-        ``iteration`` column (0-based step index).
+        ``iteration`` column (0-based step index).  ``transfer_dtype``
+        ('bfloat16'/'float16') downloads the final residual at reduced
+        precision, as in ``deblend_and_render``.
         """
         import jax.numpy as jnp
         import pandas as pd
@@ -199,7 +202,12 @@ class IterativeDeblendField(DeblendField):
             return None, self.field_image.copy()
         catalog = pd.DataFrame(all_cols).to_records(index=False)
         residual_field = self.field_image.copy()
-        residual_field[0] = np.asarray(residual_dev[0])
+        out_dev = residual_dev[0]
+        if transfer_dtype is not None:
+            out_dev = out_dev.astype(jnp.dtype(transfer_dtype))
+        residual_field[0] = np.asarray(
+            np.asarray(out_dev), self.field_image.dtype
+        )
         self.res_deblend = catalog
         return catalog, residual_field
 

@@ -305,6 +305,44 @@ def test_deblend_and_render_matches_two_stage_path(tiny_net):
     np.testing.assert_allclose(residual3[0] + model, field[0], atol=1e-5)
 
 
+def test_deblend_and_render_transfer_dtype(tiny_net):
+    """transfer_dtype downloads the residual/model at reduced precision:
+    results match the full-precision run to bf16/f16 rounding, the
+    returned arrays keep the field's dtype, and the option threads
+    through the iterative driver."""
+    field, centers = _tiny_field()
+    a = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    _, residual_ref, model_ref = a.deblend_and_render(centers, return_model=True)
+
+    b = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    cat, residual_bf, model_bf = b.deblend_and_render(
+        centers, return_model=True, transfer_dtype="bfloat16"
+    )
+    assert residual_bf.dtype == field.dtype and model_bf.dtype == field.dtype
+    scale = np.abs(residual_ref).max()
+    # bf16 has an 8-bit significand: elementwise error bounded by ~2^-8
+    # of each value, so ~scale/256 overall
+    assert np.abs(residual_bf - residual_ref).max() <= scale / 128
+    assert np.abs(model_bf - model_ref).max() <= max(np.abs(model_ref).max(), 1) / 128
+    assert len(cat) == len(centers)
+
+    c = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    _, residual_f16 = c.deblend_and_render(centers, transfer_dtype="float16")
+    assert np.abs(residual_f16 - residual_ref).max() <= scale / 512
+
+    from debvader_tpu.config import DetectionConfig
+
+    d = IterativeDeblendField(
+        tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg()
+    )
+    det_cfg = DetectionConfig(thresh=25.0, threshold_scaling="matched")
+    _, resid_it = d.iterative_deblend_and_render(
+        det_cfg=det_cfg, transfer_dtype="bfloat16"
+    )
+    assert resid_it.dtype == field.dtype
+    assert np.isfinite(resid_it).all()
+
+
 def test_deblend_and_render_measure_and_epistemic(tiny_net):
     field, centers = _tiny_field()
     df = DeblendField(
