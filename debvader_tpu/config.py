@@ -113,6 +113,12 @@ class DetectionConfig:
     # watershed ascent iteration — one VMEM pass per step vs the XLA select
     # chain's ~5x-off-roofline traffic.  TPU only; XLA path elsewhere.
     use_pallas_select: bool = True
+    # Sort-free sigma-clipped background statistics via the Pallas
+    # counting-selection kernel (kernels/clipped_stats.py; ~3x the XLA
+    # sort-once path at production shapes).  None = auto (on when running
+    # on TPU); medians are exact rank statistics either way, mean/std
+    # differ only in float summation order.
+    use_pallas_clip: bool | None = None
     # SExtractor-style CLEAN pass: drop detections whose filtered peak is
     # explained by a brighter neighbor's PSF wings (sep.extract defaults to
     # clean=True, clean_param=1.0, which the reference inherits).
