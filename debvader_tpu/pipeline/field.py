@@ -47,15 +47,23 @@ class DeblendField:
         cfg: PipelineConfig | None = None,
         rng: jax.Array | None = None,
         mesh=None,
+        quantized=None,
     ):
         """net: (model, variables); field_image: (1, F, F, B) array.
 
-        Signature mirrors field_deblender.py:13-44; ``cfg``, ``rng`` and
-        ``mesh`` are additive (defaults reproduce reference behavior).
+        Signature mirrors field_deblender.py:13-44; ``cfg``, ``rng``,
+        ``mesh`` and ``quantized`` are additive (defaults reproduce
+        reference behavior).
         ``mesh``: a jax.sharding.Mesh for batch-sharded inference fan-out —
         the stamp batch splits over the 'data' axis so field-scale
         deblending scales across a slice (SURVEY.md §5 distributed-backend
         build item).
+        ``quantized``: a models.quantized.QuantizedVAE (calibrated from
+        ``net`` via quantize_vae) — the batched stamp forward then runs
+        the int8 PTQ serving path (1.27x the bf16 forward, total-flux
+        error <=7e-4; BASELINE.md).  Epistemic sampling stays on the
+        float path (uncertainty estimates should not carry quantization
+        noise).  With ``normalise=True`` calibrate on normalized stamps.
         """
         self.net = net
         self.field_image = np.array(field_image, dtype=np.float32)
@@ -73,6 +81,16 @@ class DeblendField:
             from debvader_tpu.parallel.sharded import make_sharded_apply
 
             self._sharded_apply = make_sharded_apply(net[0], mesh)
+        self.quantized = quantized
+        if quantized is not None:
+            if mesh is not None:
+                raise ValueError(
+                    "quantized serving and mesh-sharded inference are "
+                    "mutually exclusive (quantize per-chip instead)"
+                )
+            from debvader_tpu.models.quantized import make_quantized_forward
+
+            self._quant_fwd = make_quantized_forward(quantized)
         self.nb_of_detected_objects: list[int] = []
         self.nb_of_deblended_galaxies: list[int] = []
         self.res_deblend = None
@@ -125,6 +143,45 @@ class DeblendField:
     def _next_rng(self) -> jax.Array:
         self._rng, out = jax.random.split(self._rng)
         return out
+
+    def _batched_forward(self, cutouts):
+        """The one batched stamp forward both deblending drivers share:
+        picks int8 quantized serving, the mesh-sharded fan-out, or the
+        single-chip jitted forward.  Returns the output PixelNormal (on
+        device)."""
+        if self.quantized is not None:
+            from debvader_tpu.api import _bucket
+            from debvader_tpu.models.distributions import PixelNormal
+            from debvader_tpu.ops.normalize import (
+                denormalize_distribution,
+                normalize_non_linear,
+            )
+
+            n = cutouts.shape[0]
+            m = _bucket(n)
+            x = jnp.asarray(cutouts, jnp.float32)
+            if m != n:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((m - n,) + x.shape[1:], x.dtype)]
+                )
+            if self.normalise:
+                x = normalize_non_linear(x)
+            loc, scale = self._quant_fwd(x, self._next_rng())
+            dist = PixelNormal(loc[:n], scale[:n])
+            if self.normalise:
+                dist = denormalize_distribution(dist)
+            return dist
+        if self.mesh is not None:
+            _, dist = self._deblend_sharded(cutouts)
+            return dist
+        _, dist = deblend(
+            self.net,
+            cutouts,
+            normalise=self.normalise,
+            rng=self._next_rng(),
+            fetch_mean=False,
+        )
+        return dist
 
     # ----------------------------------------------------------- deblending
     def deblend_field(
@@ -242,16 +299,7 @@ class DeblendField:
             return empty
 
         # One batched VAE forward for all sources (hot path).
-        if self.mesh is not None:
-            _, dist = self._deblend_sharded(cutouts)
-        else:
-            _, dist = deblend(
-                self.net,
-                cutouts,
-                normalise=self.normalise,
-                rng=self._next_rng(),
-                fetch_mean=False,
-            )
+        dist = self._batched_forward(cutouts)
         # One async D2H batch for both maps (the copies overlap; fetching
         # them with separate np.asarray calls serializes two full-batch
         # transfers over the host link).
@@ -535,16 +583,7 @@ class DeblendField:
                 )
             row_mask = jnp.arange(m) < n
 
-            if self.mesh is not None:
-                _, dist = self._deblend_sharded(cutouts)
-            else:
-                _, dist = deblend(
-                    self.net,
-                    cutouts,
-                    normalise=self.normalise,
-                    rng=self._next_rng(),
-                    fetch_mean=False,
-                )
+            dist = self._batched_forward(cutouts)
             means_dev = dist.mean()
 
             mse_center = jnp.mean(

@@ -441,3 +441,77 @@ def test_serving_with_nan_gap(tiny_net):
     gap_free[0, 2:8, 2:8, :] = False
     assert np.isfinite(residual[gap_free]).all()
     assert catalog.passed_cuts.all()
+
+
+def test_deblend_field_quantized_serving(tiny_net):
+    """quantized= routes the batched stamp forward through the int8 PTQ
+    path for BOTH drivers (deblend_field and the streaming
+    deblend_and_render): results stay close to float serving (int8
+    per-channel PTQ error), all sources deblend, and epistemic sampling
+    keeps using the float net."""
+    from debvader_tpu.models.quantized import quantize_vae
+
+    model, variables = tiny_net
+    field, centers = _tiny_field()
+    # calibrate on cutouts from the field itself (representative fluxes)
+    df0 = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    res_f = df0.deblend_field(centers)
+    calib = np.stack(list(res_f.cutout_images))
+    qv = quantize_vae(model, variables, calib)
+
+    dfq = DeblendField(
+        tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg(),
+        quantized=qv,
+    )
+    res_q = dfq.deblend_field(centers)
+    assert len(res_q) == len(res_f)
+    assert res_q.passed_cuts.all()
+    mean_f = np.stack(list(res_f.output_images_mean))
+    mean_q = np.stack(list(res_q.output_images_mean))
+    assert np.isfinite(mean_q).all()
+    # total flux per source close to the float path.  The tolerance is
+    # loose because both paths SAMPLE the latent with independent rng
+    # streams — the spread here is dominated by posterior sampling
+    # variance on an untrained tiny net, not by int8 error (the tight
+    # PTQ bound, <=7e-4 flux on trained weights with a shared rng, is
+    # pinned in test_quantized.py).
+    flux_f = mean_f.sum(axis=(1, 2, 3))
+    flux_q = mean_q.sum(axis=(1, 2, 3))
+    np.testing.assert_allclose(flux_q, flux_f, rtol=0.3, atol=0.15)
+
+    # streaming driver: same quantized forward, residual finite + close
+    dff = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    _, resid_f = dff.deblend_and_render(centers)
+    dfq2 = DeblendField(
+        tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg(),
+        quantized=qv,
+    )
+    cat_q, resid_q = dfq2.deblend_and_render(centers)
+    assert cat_q is not None and cat_q.passed_cuts.all()
+    assert np.isfinite(resid_q).all()
+    scale = np.abs(field).max()
+    assert np.abs(resid_q - resid_f).max() <= 0.25 * scale
+
+    # epistemic stays on the float path (runs, positive norms)
+    dfe = DeblendField(
+        tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg(),
+        quantized=qv, epistemic_uncertainty_estimation=True,
+    )
+    cat_e, _ = dfe.deblend_and_render(centers)
+    assert (cat_e.epistemic_norm > 0).all()
+
+
+def test_quantized_mesh_mutually_exclusive(tiny_net):
+    from debvader_tpu.models.quantized import quantize_vae
+    from debvader_tpu.parallel.mesh import make_mesh
+
+    model, variables = tiny_net
+    field, _ = _tiny_field()
+    calib = np.zeros((4, 23, 23, 3), np.float32)
+    qv = quantize_vae(model, variables, calib)
+    mesh = make_mesh(2)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        DeblendField(
+            tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg(),
+            quantized=qv, mesh=mesh,
+        )
