@@ -54,7 +54,7 @@ _SIGN = -0x80000000  # 0x80000000 bit pattern (as python int)
 _BLOCK = 32  # boxes per grid step (rows x P lanes must fit VMEM with temporaries)
 
 
-def _subset_stats(x, y, w, member, p):
+def _subset_stats(x, y, w, member):
     """(mean_y, med, std, count) over ``member`` lanes of each row.
 
     x: (B, P) f32 values; y: x centered on the row's unclipped mean;
@@ -90,7 +90,7 @@ def _subset_stats(x, y, w, member, p):
     return mean_y, med, jnp.sqrt(var), n
 
 
-def _cs_kernel(x_ref, v_ref, mean_ref, med_ref, std_ref, *, iters, p):
+def _cs_kernel(x_ref, v_ref, mean_ref, med_ref, std_ref, *, iters):
     x = x_ref[...]  # (B, P) f32
     vm = v_ref[...] > 0  # (B, P)
     n_all = jnp.sum(vm.astype(jnp.int32), axis=-1)
@@ -103,13 +103,13 @@ def _cs_kernel(x_ref, v_ref, mean_ref, med_ref, std_ref, *, iters, p):
 
     member = vm
     for _ in range(iters):
-        _, med, std, _ = _subset_stats(x, y, w, member, p)
+        _, med, std, _ = _subset_stats(x, y, w, member)
         thr = 3.0 * std + 1e-12
         lo = (med - thr)[:, None]
         hi = (med + thr)[:, None]
         member = vm & (x >= lo) & (x <= hi)
 
-    mean_y, med, std, n = _subset_stats(x, y, w, member, p)
+    mean_y, med, std, n = _subset_stats(x, y, w, member)
     nonempty = n > 0
     # outputs are (1, 8, B) blocks of a (grid, 8, B) array — B rides the
     # lane dim; the 8 sublanes are replicas (Mosaic requires the trailing
@@ -157,7 +157,7 @@ def sigma_clipped_stats_pallas(
         (1, 8, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     mean, med, std = pl.pallas_call(
-        partial(_cs_kernel, iters=iters, p=p),
+        partial(_cs_kernel, iters=iters),
         out_shape=tuple(
             jax.ShapeDtypeStruct((grid, 8, block), jnp.float32) for _ in range(3)
         ),

@@ -41,7 +41,7 @@ tests/test_pallas_detect_fused.py).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -109,18 +109,6 @@ def _df_kernel(img_ref, back_ref, idx_ref, thresh_ref, filt_ref, dir_ref, cur_re
     cur_ref[0] = jnp.where(center_mask, best_i, 0)
 
 
-@lru_cache(maxsize=8)
-def _index_frame(f: int, padded_f: int) -> np.ndarray:
-    """(frame_h, frame_w) int32 map: global flat index r*f+c in-field, -1
-    outside.  Shared by every tile of the stack."""
-    frame_h = padded_f + 2 * _LEAD
-    frame_w = padded_f + 128
-    idx = np.full((frame_h, frame_w), -1, np.int32)
-    r = np.arange(f)
-    idx[_LEAD : _LEAD + f, _LEAD : _LEAD + f] = r[:, None] * f + r[None, :]
-    return idx
-
-
 def matched_filter_parents(
     images: jax.Array,
     backgrounds: jax.Array,
@@ -170,7 +158,13 @@ def _mfp_jit(images, backgrounds, kernel_key, thresholds, tile, interpret):
 
     img_p = frame(images)
     back_p = frame(backgrounds)
-    idx = jnp.asarray(_index_frame(f, padded_f))
+    # (frame_h, frame_w) int32 map: global flat index r*f+c in-field, -1
+    # outside.  Shared by every tile of the stack.  Built from iota inside
+    # the trace so no O(field^2) host constant is baked into the executable.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (frame_h, frame_w), 0) - _LEAD
+    cols = jax.lax.broadcasted_iota(jnp.int32, (frame_h, frame_w), 1) - _LEAD
+    infield = (rows >= 0) & (rows < f) & (cols >= 0) & (cols < f)
+    idx = jnp.where(infield, rows * f + cols, -1)
 
     halo = (pl.Element(tile + 2 * _LEAD), pl.Element(tile + 128))
     # frame_h and tile are both multiples of 8, but Mosaic's divisibility

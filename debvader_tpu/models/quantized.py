@@ -302,8 +302,6 @@ def _forward(
     h = _prelu(h, dec["PReLU_2"]["alpha"])
     h = h.reshape(h.shape[0], w, w, cfg.filters[-1]).astype(dtype)
     for j in range(nf):
-        i = nf - 1 - j
-        k = (cfg.kernels[i], cfg.kernels[i])
         h = _apply_convT(
             h, f"dec/ConvTranspose2DTF_{2 * j}", dec, (2, 2), qw, ascales, collect, dtype
         )

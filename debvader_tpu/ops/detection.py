@@ -517,13 +517,40 @@ def _merge_segments_py(ea, eb, eh, peak, flux, order, nthr, thr, cont):
     return np.fromiter((find(i) for i in range(L)), np.int64, L)
 
 
+def _normalize_batched_cfg(cfg: DetectionConfig) -> DetectionConfig:
+    """Resolve single-field-only knobs for the batched/tiled path.
+
+    The standalone Pallas filter (use_pallas_filter) is a single-field
+    backend; in the batched path it is superseded by the fused detect core,
+    which subsumes it (filter + threshold + parents in one pass).  Route
+    through the fused stack instead of de-batching — unless the caller
+    explicitly disabled the fused kernel or its Pallas label-select feeder
+    (or it cannot run, e.g. filter_size != 7), in which case honor that and
+    run the XLA filter batched."""
+    if cfg.use_pallas_filter and not _fused_enabled(cfg):
+        if (
+            cfg.use_pallas_fused is None
+            and cfg.filter_size == 7
+            and cfg.use_pallas_select
+        ):
+            return dataclasses.replace(
+                cfg, use_pallas_filter=False, use_pallas_fused=True
+            )
+        return dataclasses.replace(cfg, use_pallas_filter=False)
+    return cfg
+
+
 def _fused_enabled(cfg: DetectionConfig) -> bool:
     """Whether the fused Pallas detect core (kernels/detect_fused.py) runs:
     auto on TPU, forced (interpreter mode) by use_pallas_fused=True."""
     if cfg.filter_size != 7:
         return False
     if cfg.use_pallas_fused is None:
-        return jax.default_backend() == "tpu"
+        # auto mode respects the label_select escape hatch: the fused core
+        # feeds label_select_fixpoint, so use_pallas_select=False must fall
+        # back to the XLA chain (an explicit use_pallas_fused=True still
+        # wins — the user asked for the fused core by name)
+        return jax.default_backend() == "tpu" and cfg.use_pallas_select
     return cfg.use_pallas_fused
 
 
@@ -740,12 +767,7 @@ def detect_sources_batched(
     n_padded = shape[0]
     if mesh is not None:
         n_padded += (-shape[0]) % mesh.shape["data"]
-    if cfg.use_pallas_filter and not _fused_enabled(cfg):
-        # The standalone Pallas filter (use_pallas_filter) is a single-field
-        # backend; in the batched path it is superseded by the fused detect
-        # core, which subsumes it (filter + threshold + parents in one
-        # pass).  Route through the fused stack instead of de-batching.
-        cfg = dataclasses.replace(cfg, use_pallas_filter=False, use_pallas_fused=True)
+    cfg = _normalize_batched_cfg(cfg)
     if n_padded * int(np.prod(shape[1:])) >= 2**31:
         # stacks past 2^31 pixels (after mesh padding) would overflow the
         # int32 COO flat index

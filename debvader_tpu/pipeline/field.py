@@ -164,6 +164,11 @@ class DeblendField:
                 x = jnp.concatenate(
                     [x, jnp.zeros((m - n,) + x.shape[1:], x.dtype)]
                 )
+            # zero non-finite pixels BEFORE normalizing, like the float
+            # paths (api.deblend / parallel.sharded): tanh(arcsinh(inf))=1.0
+            # would otherwise slip past the forward's finite guard as
+            # maximal signal
+            x = jnp.where(jnp.isfinite(x), x, 0.0)
             if self.normalise:
                 x = normalize_non_linear(x)
             loc, scale = self._quant_fwd(x, self._next_rng())

@@ -2,6 +2,7 @@
 segmentation/deblending, centroids, minarea, and the reference offset
 convention — on synthetic fields with known ground truth, plus DC2 sanity."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -396,3 +397,46 @@ def test_native_merge_on_real_field():
         segmerge.merge_segments = real
     np.testing.assert_array_equal(a["labels"], b["labels"])
     np.testing.assert_array_equal(a["y"], b["y"])
+
+
+def test_pallas_knob_escape_hatches(monkeypatch):
+    """Explicitly disabled Pallas kernels stay disabled on every path.
+
+    Regression for two round-3 review findings: (a) the batched path
+    auto-upgraded use_pallas_filter into the fused kernel even when the
+    caller set use_pallas_fused=False; (b) _fused_enabled's auto mode
+    ignored use_pallas_select=False although the fused core feeds
+    label_select_fixpoint."""
+    from debvader_tpu.ops.detection import _fused_enabled, _normalize_batched_cfg
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    # auto mode respects the label_select escape hatch
+    assert _fused_enabled(DetectionConfig()) is True
+    assert _fused_enabled(DetectionConfig(use_pallas_select=False)) is False
+    # explicit force still wins (user asked for the fused core by name)
+    assert _fused_enabled(
+        DetectionConfig(use_pallas_select=False, use_pallas_fused=True)
+    ) is True
+
+    # on TPU with fused auto-on, the batched path needs no rewrite (the
+    # fused stack already subsumes the single-field filter)
+    same = _normalize_batched_cfg(DetectionConfig(use_pallas_filter=True))
+    assert _fused_enabled(same)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+
+    # off-TPU the fused core is forced on (interpret mode) rather than
+    # de-batching into the single-field filter...
+    up = _normalize_batched_cfg(DetectionConfig(use_pallas_filter=True))
+    assert up.use_pallas_fused is True and not up.use_pallas_filter
+    # ...but an explicit opt-out of the fused kernel or its select feeder
+    # is honored: run the XLA filter batched instead
+    held = _normalize_batched_cfg(
+        DetectionConfig(use_pallas_filter=True, use_pallas_fused=False)
+    )
+    assert held.use_pallas_fused is False and not held.use_pallas_filter
+    held2 = _normalize_batched_cfg(
+        DetectionConfig(use_pallas_filter=True, use_pallas_select=False)
+    )
+    assert held2.use_pallas_fused is None and not held2.use_pallas_filter

@@ -3,6 +3,7 @@ predicted field assembly, cuts, position optimization hook, iterative loop
 termination, and the DC2 end-to-end slice with truth centers."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -515,3 +516,43 @@ def test_quantized_mesh_mutually_exclusive(tiny_net):
             tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg(),
             quantized=qv, mesh=mesh,
         )
+
+
+def test_quantized_forward_zeros_nonfinite_before_normalize(tiny_net):
+    """Regression: +/-inf pixels must be zeroed BEFORE normalization on the
+    quantized serving path, like the float paths — tanh(arcsinh(inf)) = 1.0
+    would otherwise slip past the forward's finite guard as maximal signal."""
+    from debvader_tpu.models.quantized import quantize_vae
+
+    model, variables = tiny_net
+    field, centers = _tiny_field()
+    calib = np.zeros((4, 23, 23, 3), np.float32)
+    qv = quantize_vae(model, variables, calib)
+
+    cut = np.asarray(
+        np.random.default_rng(3).normal(size=(3, 23, 23, 3)), np.float32
+    )
+    bad = cut.copy()
+    bad[0, 5, 5, 0] = np.inf
+    bad[1, 7, 2, 1] = -np.inf
+    bad[2, 0, 0, 2] = np.nan
+    clean = cut.copy()
+    clean[0, 5, 5, 0] = 0.0
+    clean[1, 7, 2, 1] = 0.0
+    clean[2, 0, 0, 2] = 0.0
+
+    def run(x):
+        df = DeblendField(
+            tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg(),
+            quantized=qv,
+        )
+        d = df._batched_forward(jnp.asarray(x))
+        return np.asarray(d.loc), np.asarray(d.scale)
+
+    loc_b, scale_b = run(bad)
+    loc_c, scale_c = run(clean)
+    # both DeblendFields start from PRNGKey(0), so the sampled latents
+    # coincide and the guarded forward must match the pre-zeroed one exactly
+    np.testing.assert_array_equal(loc_b, loc_c)
+    np.testing.assert_array_equal(scale_b, scale_c)
+    assert np.isfinite(loc_b).all()
