@@ -105,9 +105,9 @@ class DetectionConfig:
     # threshold + watershed parents + direction codes in one VMEM pass
     # feeding the label-resolution fixpoint.  None = auto (on when running
     # on TPU); True forces it (interpreter mode off-TPU, for tests); False
-    # disables.  Composes with detect_sources_batched; mesh-sharded
-    # detection keeps the XLA core (SPMD partitioning of pallas_call
-    # requires shard_map).
+    # disables.  Composes with detect_sources_batched, including the
+    # mesh-sharded path (the tile stack shard_maps over 'data' and the
+    # fused core runs per shard — every stage is per-tile independent).
     use_pallas_fused: bool | None = None
     # Fused Pallas label-resolution step (kernels/label_select.py) for the
     # watershed ascent iteration — one VMEM pass per step vs the XLA select

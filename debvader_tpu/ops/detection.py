@@ -701,10 +701,27 @@ def _batched_core_fn(cfg: DetectionConfig, mesh):
     def fn(xs):
         if mesh is None and _fused_enabled(cfg):
             labels, filt, grms = _detect_core_stack(xs, cfg)
+        elif mesh is not None and _fused_enabled(cfg):
+            # Every stage of the fused core is per-tile independent
+            # (per-tile background/threshold, intra-tile watershed with
+            # tile-gap direction codes, per-field flat parent indices), so
+            # the stack shards over 'data' with no collectives: shard_map
+            # hands each device its local (T/n, F, F) slab and the Pallas
+            # kernels run per shard.  The caller pads T to a multiple of
+            # the 'data' axis.
+            from jax.sharding import PartitionSpec as P
+
+            labels, filt, grms = jax.shard_map(
+                lambda x: _detect_core_stack(x, cfg),
+                mesh=mesh,
+                in_specs=P("data"),
+                out_specs=P("data"),
+                # vma inference can't see through the pallas_calls inside
+                # the core; outputs are per-shard by construction
+                check_vma=False,
+            )(xs)
         else:
-            # Mesh-sharded detection keeps the XLA core: XLA SPMD
-            # partitions the vmapped ops over 'data'; partitioning a
-            # pallas_call would need shard_map.
+            # XLA core: XLA SPMD partitions the vmapped ops over 'data'.
             if mesh is not None:
                 from debvader_tpu.parallel import mesh as mesh_lib
 
