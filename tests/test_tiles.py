@@ -195,3 +195,55 @@ def test_tiled_detection_sharded_fused_core():
         np.asarray(sorted(map(tuple, det_serial))),
         np.asarray(sorted(map(tuple, det_sharded))),
     )
+
+
+def _tiny_tdf(field, upload_dtype=None, **extra):
+    cfg = ModelConfig(stamp_size=23, nb_of_bands=3, latent_dim=4,
+                      filters=(4, 8), kernels=(3, 3))
+    model = DeblenderVAE(cfg)
+    variables = init_vae(model, jax.random.PRNGKey(0))
+    return TiledDeblendField(
+        (model, variables), field, cutout_size=23, nb_of_bands=3,
+        cfg=PipelineConfig(cutout_size=23, nb_of_bands=3, tile_size=160,
+                           tile_overlap=40),
+        det_cfg=DetectionConfig(thresh=25.0, background_box=32,
+                                detection_band=0),
+        upload_dtype=upload_dtype, **extra,
+    )
+
+
+def test_detect_on_device_field_matches_host():
+    """The serving drivers detect on the memoized device field (no separate
+    band upload); results must equal host-array detection exactly."""
+    srcs = [(60.0, 70.0, 3.0), (200.0, 150.0, 2.5), (150.0, 240.0, 3.5)]
+    field = _field(300, srcs, bands=3)
+    tdf = _tiny_tdf(field)
+    host = tdf.detect()
+    dev = tdf.detect(field=tdf._device_field(tdf.field_image))
+    np.testing.assert_array_equal(host, dev)
+    # and the fused driver (which routes through the device field) finds them
+    cat, resid = tdf.detect_deblend_render()
+    assert len(cat) == 3 and np.isfinite(resid).all()
+
+
+def test_upload_dtype_reduced_precision_field():
+    """upload_dtype='bfloat16' halves the field upload; results stay within
+    bf16 pixel quantization of the full-precision path."""
+    import pytest
+
+    srcs = [(60.0, 70.0, 3.0), (200.0, 150.0, 2.5), (150.0, 240.0, 3.5)]
+    field = _field(300, srcs, bands=3)
+    full = _tiny_tdf(field)
+    half = _tiny_tdf(field, upload_dtype="bfloat16")
+    c_full = full.detect(field=full._device_field(full.field_image))
+    c_half = half.detect(field=half._device_field(half.field_image))
+    # high-SNR synthetic sources: same detections despite pixel quantization
+    np.testing.assert_array_equal(np.sort(c_full, 0), np.sort(c_half, 0))
+    cat_f, resid_f = full.detect_deblend_render()
+    cat_h, resid_h = half.detect_deblend_render()
+    assert len(cat_f) == len(cat_h) == 3
+    scale = np.abs(field).max()
+    assert np.abs(resid_h - resid_f).max() <= 2e-2 * scale
+
+    with pytest.raises(ValueError, match="upload_dtype"):
+        _tiny_tdf(field, upload_dtype="int8")
