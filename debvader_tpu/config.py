@@ -42,6 +42,12 @@ class ModelConfig:
     # (model/model.py:117).  Keep True for weight-parity; False runs that
     # Dense in the compute dtype (faster in bfloat16 mode).
     strict_cast: bool = True
+    # Run the decoder's stride-2 ConvTranspose layers in the sub-pixel
+    # formulation (dense 2x2 conv + depth-to-space, see
+    # models/layers.py:pack_subpixel_kernel).  Numerically equivalent and
+    # checkpoint-compatible; trades 16/9x FLOPs for MXU lane occupancy at
+    # the lane-bound decoder-tail shapes.
+    decoder_subpixel: bool = False
 
     @property
     def input_shape(self) -> tuple[int, int, int]:

@@ -25,7 +25,52 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["PReLU", "ConvTranspose2DTF"]
+__all__ = ["PReLU", "ConvTranspose2DTF", "pack_subpixel_kernel"]
+
+
+def pack_subpixel_kernel(w: jax.Array) -> jax.Array:
+    """Repack a (3, 3, out, in) TF-layout stride-2 convT kernel for the
+    sub-pixel (dense conv + depth-to-space) formulation: (2, 2, in, 4*out).
+
+    A stride-2 3x3 SAME conv_transpose with even output (out = 2*in) is
+    exactly a dense 2x2 conv at the input resolution producing the four
+    output phases as channels: output pixel (2i+py, 2j+px) only reads input
+    pixels {i-1, i} x {j-1, j} through taps with k == p (mod 2), i.e.
+    y[2i + p] = sum_{k == p mod 2} x[(2i + p - k)/2] * w[k].  With the dense
+    conv padded ((1,0),(1,0)) so tap d in {0,1} reads x[i-1+d], the packed
+    slot is w_packed[d][phase p] = w[k], k = p + 2*(1 - d) (empty when
+    k == 3).  The packed kernel is 9/16 dense — the recast trades 16/9x the
+    FLOPs for up to 4x MXU lane occupancy, a win exactly where the decoder
+    tail is lane-bound (cout 32/64 at 64^2/32^2 spatial; DESIGN.md §4).
+    Phase channels are (py, px) row-major, matching ``_depth_to_space``.
+    """
+    kh, kw, cout, cin = w.shape
+    if (kh, kw) != (3, 3):
+        raise ValueError(f"subpixel pack requires a 3x3 kernel, got {kh}x{kw}")
+    empty = jnp.zeros((cin, cout), w.dtype)
+    taps = []
+    for dy in range(2):
+        for dx in range(2):
+            phases = []
+            for py in range(2):
+                for px in range(2):
+                    ky = py + 2 * (1 - dy)
+                    kx = px + 2 * (1 - dx)
+                    ok = ky < 3 and kx < 3
+                    phases.append(w[ky, kx].T if ok else empty)
+            # (cin, 4, cout) for this tap
+            taps.append(jnp.stack(phases, axis=1))
+    packed = jnp.stack(taps, axis=0).reshape(2, 2, cin, 4 * cout)
+    return packed
+
+
+def _depth_to_space(y: jax.Array) -> jax.Array:
+    """(N, S, S, 4*C) phase channels (row-major 2x2) -> (N, 2S, 2S, C)."""
+    n, s, _, c4 = y.shape
+    c = c4 // 4
+    y = y.reshape(n, s, s, 2, 2, c)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(n, 2 * s, 2 * s, c)
 
 
 class PReLU(nn.Module):
@@ -57,6 +102,12 @@ class ConvTranspose2DTF(nn.Module):
     strides: tuple[int, int] = (1, 1)
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    # Sub-pixel formulation for the stride-2 3x3 case: dense 2x2 conv to
+    # 4x channels + depth-to-space, numerically equal to conv_transpose but
+    # MXU-lane-friendly at small channel counts (see pack_subpixel_kernel).
+    # The stored parameter keeps the TF (kh, kw, out, in) layout either way,
+    # so checkpoints are interchangeable across the flag.
+    subpixel: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -68,17 +119,29 @@ class ConvTranspose2DTF(nn.Module):
             (kh, kw, self.features, in_ch),
             jnp.float32,
         )
-        # With transpose_kernel=True the kernel is described as the *forward*
-        # conv's HWIO: our TF-layout (kh, kw, out_T, in_T) is the forward
-        # kernel (kh, kw, in_fwd=out_T, out_fwd=in_T), i.e. exactly HWIO.
-        y = jax.lax.conv_transpose(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            strides=self.strides,
-            padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            transpose_kernel=True,
-        )
+        if self.subpixel and self.strides == (2, 2) and (kh, kw) == (3, 3):
+            packed = pack_subpixel_kernel(kernel).astype(self.dtype)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                packed,
+                window_strides=(1, 1),
+                padding=((1, 0), (1, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = _depth_to_space(y)
+        else:
+            # With transpose_kernel=True the kernel is described as the
+            # *forward* conv's HWIO: our TF-layout (kh, kw, out_T, in_T) is
+            # the forward kernel (kh, kw, in_fwd=out_T, out_fwd=in_T), i.e.
+            # exactly HWIO.
+            y = jax.lax.conv_transpose(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                strides=self.strides,
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                transpose_kernel=True,
+            )
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32

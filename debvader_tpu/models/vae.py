@@ -105,7 +105,10 @@ class Decoder(nn.Module):
         h = h.reshape(h.shape[0], w, w, cfg.filters[-1]).astype(dtype)
         for i in range(len(cfg.filters) - 1, -1, -1):
             k = (cfg.kernels[i], cfg.kernels[i])
-            h = ConvTranspose2DTF(cfg.filters[i], k, strides=(2, 2), dtype=dtype)(h)
+            h = ConvTranspose2DTF(
+                cfg.filters[i], k, strides=(2, 2), dtype=dtype,
+                subpixel=cfg.decoder_subpixel,
+            )(h)
             h = PReLU()(h)
             h = ConvTranspose2DTF(cfg.filters[i], k, strides=(1, 1), dtype=dtype)(h)
             h = PReLU()(h)

@@ -218,3 +218,41 @@ def test_deblend_sample_stats_matches_sample_cube():
     )
     np.testing.assert_allclose(np.asarray(mean), cube.mean(0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(std), cube.std(0), atol=1e-4)
+
+
+def test_subpixel_convt_matches_conv_transpose():
+    """The sub-pixel recast (dense 2x2 conv + depth-to-space,
+    layers.pack_subpixel_kernel) is numerically equal to the stride-2 3x3
+    conv_transpose for the same stored kernel, at every decoder stride-2
+    shape."""
+    rng = np.random.default_rng(11)
+    for (s, cin, cout) in [(4, 7, 5), (8, 5, 3), (16, 4, 6), (32, 3, 2)]:
+        x = jnp.asarray(rng.normal(size=(2, s, s, cin)), jnp.float32)
+        ref_mod = ConvTranspose2DTF(cout, (3, 3), strides=(2, 2))
+        variables = ref_mod.init(jax.random.PRNGKey(s), x)
+        sub_mod = ConvTranspose2DTF(cout, (3, 3), strides=(2, 2), subpixel=True)
+        want = ref_mod.apply(variables, x)
+        got = sub_mod.apply(variables, x)
+        assert got.shape == want.shape == (2, 2 * s, 2 * s, cout)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_decoder_subpixel_checkpoint_compatible():
+    """decoder_subpixel=True uses the same variable tree and reproduces the
+    default decoder's output from the same weights (opt-in perf recast, not
+    a different model)."""
+    cfg = ModelConfig()
+    cfg_sub = ModelConfig(decoder_subpixel=True)
+    m, m_sub = DeblenderVAE(cfg), DeblenderVAE(cfg_sub)
+    variables = init_vae(m, jax.random.PRNGKey(0))
+    shapes = jax.tree_util.tree_map(lambda a: a.shape, variables)
+    shapes_sub = jax.tree_util.tree_map(
+        lambda a: a.shape, init_vae(m_sub, jax.random.PRNGKey(0))
+    )
+    assert shapes == shapes_sub
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 59, 59, 6)), jnp.float32)
+    d, _ = m.apply(variables, x, z_mode="mean")
+    d_sub, _ = m_sub.apply(variables, x, z_mode="mean")
+    np.testing.assert_allclose(
+        np.asarray(d_sub.loc), np.asarray(d.loc), atol=1e-4, rtol=1e-4
+    )
