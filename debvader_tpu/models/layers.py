@@ -25,7 +25,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["PReLU", "ConvTranspose2DTF", "pack_subpixel_kernel"]
+__all__ = [
+    "PReLU",
+    "ConvTranspose2DTF",
+    "pack_subpixel_kernel",
+    "pack_subpixel_kernel_s1",
+]
 
 
 def pack_subpixel_kernel(w: jax.Array) -> jax.Array:
@@ -61,6 +66,46 @@ def pack_subpixel_kernel(w: jax.Array) -> jax.Array:
             # (cin, 4, cout) for this tap
             taps.append(jnp.stack(phases, axis=1))
     packed = jnp.stack(taps, axis=0).reshape(2, 2, cin, 4 * cout)
+    return packed
+
+
+def pack_subpixel_kernel_s1(w: jax.Array) -> jax.Array:
+    """Repack a (3, 3, out, in) TF-layout *stride-1* convT kernel for the
+    output-patch sub-pixel formulation: (4, 4, in, 4*out).
+
+    A stride-1 3x3 SAME conv_transpose on even-sized input equals a
+    stride-2 4x4 conv producing each 2x2 output patch as four phase
+    channels: output row 2j+p reads input rows 2j+p-1 .. 2j+p+1, all
+    within the 4-row window 2j-1 .. 2j+2, so with padding ((1,1),(1,1))
+    tap d reads x[2j+d-1] and w4[d][phase p] = u[d-p] (zero outside
+    0 <= d-p <= 2), where u is the convT kernel as a forward-conv HWIO
+    kernel (spatial flip + channel transpose: stride-1 conv_transpose ==
+    correlation with the 180-degree-rotated kernel).
+
+    Density is 9/16 per phase — the same 16/9x-FLOPs-for-4x-lanes trade
+    as the stride-2 recast.  (This is NOT the packed-input space-to-depth
+    variant DESIGN.md §4 rejected, which is 4x FLOPs: packing the *output*
+    patch instead of both sides keeps the receptive field exactly 4x4.)
+    Phase channel order matches ``_depth_to_space``.
+    """
+    kh, kw, cout, cin = w.shape
+    if (kh, kw) != (3, 3):
+        raise ValueError(f"subpixel pack requires a 3x3 kernel, got {kh}x{kw}")
+    # Forward-conv kernel u[m, n, cin, cout] = w[2-m, 2-n].T
+    u = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    empty = jnp.zeros((cin, cout), w.dtype)
+    taps = []
+    for dy in range(4):
+        for dx in range(4):
+            phases = []
+            for py in range(2):
+                for px in range(2):
+                    my = dy - py
+                    mx = dx - px
+                    ok = 0 <= my <= 2 and 0 <= mx <= 2
+                    phases.append(u[my, mx] if ok else empty)
+            taps.append(jnp.stack(phases, axis=1))  # (cin, 4, cout)
+    packed = jnp.stack(taps, axis=0).reshape(4, 4, cin, 4 * cout)
     return packed
 
 
@@ -119,13 +164,31 @@ class ConvTranspose2DTF(nn.Module):
             (kh, kw, self.features, in_ch),
             jnp.float32,
         )
-        if self.subpixel and self.strides == (2, 2) and (kh, kw) == (3, 3):
+        use_subpixel = (
+            self.subpixel
+            and (kh, kw) == (3, 3)
+            and (
+                self.strides == (2, 2)
+                or (self.strides == (1, 1) and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+            )
+        )
+        if use_subpixel and self.strides == (2, 2):
             packed = pack_subpixel_kernel(kernel).astype(self.dtype)
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
                 packed,
                 window_strides=(1, 1),
                 padding=((1, 0), (1, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = _depth_to_space(y)
+        elif use_subpixel:
+            packed = pack_subpixel_kernel_s1(kernel).astype(self.dtype)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                packed,
+                window_strides=(2, 2),
+                padding=((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             y = _depth_to_space(y)

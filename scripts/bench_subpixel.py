@@ -86,15 +86,37 @@ def convt_subpixel(x, wp):
     return depth_to_space(y)
 
 
+def convt1_ref(x, w):
+    return lax.conv_transpose(
+        x, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
+    )
+
+
+def convt1_subpixel(x, wp):
+    y = lax.conv_general_dilated(
+        x, wp, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return depth_to_space(y)
+
+
 def check_equivalence():
+    from debvader_tpu.models.layers import pack_subpixel_kernel_s1
+
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(2, 8, 8, 5)), jnp.float32)
     w = rng.normal(size=(3, 3, 7, 5)).astype(np.float32)
     ref = convt_ref(x, jnp.asarray(w))
     sub = convt_subpixel(x, pack_subpixel_kernel(w))
     err = float(jnp.max(jnp.abs(ref - sub)))
-    print(f"equivalence max|diff| = {err:.2e}", flush=True)
+    print(f"s2 equivalence max|diff| = {err:.2e}", flush=True)
     assert err < 1e-5, err
+    ref1 = convt1_ref(x, jnp.asarray(w))
+    sub1 = convt1_subpixel(x, pack_subpixel_kernel_s1(jnp.asarray(w)))
+    err1 = float(jnp.max(jnp.abs(ref1 - sub1)))
+    print(f"s1 equivalence max|diff| = {err1:.2e}", flush=True)
+    assert err1 < 1e-5, err1
 
 
 @partial(jax.jit, static_argnames=("mode", "n"))
@@ -108,7 +130,12 @@ def chain(x, w, mode, n):
             y = jnp.tile(y, (1, 1, 1, reps))
         return (y[..., :cin] * jnp.bfloat16(2**-6)).astype(x.dtype)
 
-    op = convt_ref if mode == "ref" else convt_subpixel
+    op = {
+        "ref": convt_ref,
+        "sub": convt_subpixel,
+        "ref1": convt1_ref,
+        "sub1": convt1_subpixel,
+    }[mode]
 
     def body(xx, _):
         return feedback(op(xx, w)), None
@@ -181,22 +208,38 @@ def bench_full_model():
 
 def main():
     check_equivalence()
+    from debvader_tpu.models.layers import pack_subpixel_kernel_s1
+
     shapes = [
-        ("decT s2 4x4x256->8x8x256", (4, 256, 256)),
-        ("decT s2 8x8x256->16x16x128", (8, 256, 128)),
-        ("decT s2 16x16x128->32x32x64", (16, 128, 64)),
-        ("decT s2 32x32x64->64x64x32", (32, 64, 32)),
+        ("decT s2 4x4x256->8x8x256", (4, 256, 256, 2)),
+        ("decT s2 8x8x256->16x16x128", (8, 256, 128, 2)),
+        ("decT s2 16x16x128->32x32x64", (16, 128, 64, 2)),
+        ("decT s2 32x32x64->64x64x32", (32, 64, 32, 2)),
+        ("decT s1 8x8x256->8x8x256", (8, 256, 256, 1)),
+        ("decT s1 16x16x128->16x16x128", (16, 128, 128, 1)),
+        ("decT s1 32x32x64->32x32x64", (32, 64, 64, 1)),
+        ("decT s1 64x64x32->64x64x32", (64, 32, 32, 1)),
     ]
     print(f"backend={jax.default_backend()} batch={BATCH}", flush=True)
-    for i, (name, (s, cin, cout)) in enumerate(shapes):
+    for i, (name, (s, cin, cout, stride)) in enumerate(shapes):
+        # Useful MACs: s^2 * 9 * cin * cout for both strides (stride 2:
+        # each of s^2 inputs feeds 9 taps; stride 1: each of s^2 outputs
+        # sums 9 taps).
         flops = 2 * BATCH * s * s * 9 * cin * cout
         k = jax.random.PRNGKey(i)
         xb = jax.random.normal(k, (BATCH, s, s, cin), jnp.bfloat16)
         wnp = np.random.default_rng(i).normal(size=(3, 3, cout, cin))
         wb = jnp.asarray(wnp, jnp.bfloat16)
-        wp = pack_subpixel_kernel(wnp.astype(np.float32)).astype(jnp.bfloat16)
-        tr = timeit(xb, wb, "ref")
-        ts = timeit(xb, wp, "sub")
+        if stride == 2:
+            wp = pack_subpixel_kernel(wnp.astype(np.float32)).astype(jnp.bfloat16)
+            tr = timeit(xb, wb, "ref")
+            ts = timeit(xb, wp, "sub")
+        else:
+            wp = pack_subpixel_kernel_s1(
+                jnp.asarray(wnp, jnp.float32)
+            ).astype(jnp.bfloat16)
+            tr = timeit(xb, wb, "ref1")
+            ts = timeit(xb, wp, "sub1")
         print(
             f"{name}: convT {tr * 1e3:6.2f} ms ({flops / tr / 1e12:6.1f} TF/s)  "
             f"subpixel {ts * 1e3:6.2f} ms ({flops / ts / 1e12:6.1f} TF/s useful)  "

@@ -256,3 +256,34 @@ def test_decoder_subpixel_checkpoint_compatible():
     np.testing.assert_allclose(
         np.asarray(d_sub.loc), np.asarray(d.loc), atol=1e-4, rtol=1e-4
     )
+
+
+def test_subpixel_convt_stride1_matches_conv_transpose():
+    """The output-patch recast of the stride-1 3x3 convT (stride-2 4x4
+    dense conv + depth-to-space, layers.pack_subpixel_kernel_s1) is
+    numerically equal to conv_transpose on even-sized inputs."""
+    rng = np.random.default_rng(13)
+    for (s, cin, cout) in [(8, 7, 5), (16, 5, 3), (32, 4, 6), (64, 3, 2)]:
+        x = jnp.asarray(rng.normal(size=(2, s, s, cin)), jnp.float32)
+        ref_mod = ConvTranspose2DTF(cout, (3, 3), strides=(1, 1))
+        variables = ref_mod.init(jax.random.PRNGKey(s + 1), x)
+        sub_mod = ConvTranspose2DTF(cout, (3, 3), strides=(1, 1), subpixel=True)
+        want = ref_mod.apply(variables, x)
+        got = sub_mod.apply(variables, x)
+        assert got.shape == want.shape == (2, s, s, cout)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_subpixel_stride1_odd_input_falls_back():
+    """Odd spatial input keeps the conv_transpose path (the recast needs
+    even sizes); results must still match."""
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.normal(size=(2, 9, 9, 4)), jnp.float32)
+    ref_mod = ConvTranspose2DTF(3, (3, 3), strides=(1, 1))
+    variables = ref_mod.init(jax.random.PRNGKey(9), x)
+    sub_mod = ConvTranspose2DTF(3, (3, 3), strides=(1, 1), subpixel=True)
+    np.testing.assert_allclose(
+        np.asarray(sub_mod.apply(variables, x)),
+        np.asarray(ref_mod.apply(variables, x)),
+        atol=2e-5,
+    )
