@@ -28,8 +28,10 @@ from flax import linen as nn
 __all__ = [
     "PReLU",
     "ConvTranspose2DTF",
+    "SubpixelConv2D",
     "pack_subpixel_kernel",
     "pack_subpixel_kernel_s1",
+    "pack_subpixel_kernel_fwd",
 ]
 
 
@@ -107,6 +109,79 @@ def pack_subpixel_kernel_s1(w: jax.Array) -> jax.Array:
             taps.append(jnp.stack(phases, axis=1))  # (cin, 4, cout)
     packed = jnp.stack(taps, axis=0).reshape(4, 4, cin, 4 * cout)
     return packed
+
+
+def pack_subpixel_kernel_fwd(w: jax.Array) -> jax.Array:
+    """Repack a (3, 3, in, out) HWIO *forward* stride-1 conv kernel for the
+    output-patch sub-pixel formulation: (4, 4, in, 4*out).
+
+    Identical derivation to :func:`pack_subpixel_kernel_s1` without the
+    spatial flip / channel transpose (a forward SAME conv reads
+    y[2j+p] = sum_m x[2j+p+m-1] w[m], so tap d = p+m and
+    w4[d][phase p] = w[d-p] for 0 <= d-p <= 2).
+    """
+    kh, kw, cin, cout = w.shape
+    if (kh, kw) != (3, 3):
+        raise ValueError(f"subpixel pack requires a 3x3 kernel, got {kh}x{kw}")
+    empty = jnp.zeros((cin, cout), w.dtype)
+    taps = []
+    for dy in range(4):
+        for dx in range(4):
+            phases = []
+            for py in range(2):
+                for px in range(2):
+                    my = dy - py
+                    mx = dx - px
+                    ok = 0 <= my <= 2 and 0 <= mx <= 2
+                    phases.append(w[my, mx] if ok else empty)
+            taps.append(jnp.stack(phases, axis=1))  # (cin, 4, cout)
+    packed = jnp.stack(taps, axis=0).reshape(4, 4, cin, 4 * cout)
+    return packed
+
+
+class SubpixelConv2D(nn.Module):
+    """Stride-1 3x3 SAME forward conv in the output-patch sub-pixel
+    formulation (stride-2 4x4 conv to 4x phase channels + depth-to-space).
+
+    Parameter tree (kernel (3,3,in,out) HWIO + bias) matches
+    ``flax.linen.Conv`` exactly, so instantiating this with the same
+    ``name`` as the Conv it replaces keeps checkpoints interchangeable.
+    Requires even spatial input; falls back to the stock conv otherwise.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        xd = x.astype(self.dtype)
+        if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            packed = pack_subpixel_kernel_fwd(kernel).astype(self.dtype)
+            y = jax.lax.conv_general_dilated(
+                xd,
+                packed,
+                window_strides=(2, 2),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = _depth_to_space(y)
+        else:
+            y = jax.lax.conv_general_dilated(
+                xd,
+                kernel.astype(self.dtype),
+                window_strides=(1, 1),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        return y + bias.astype(self.dtype)
 
 
 def _depth_to_space(y: jax.Array) -> jax.Array:

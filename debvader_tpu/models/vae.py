@@ -37,7 +37,7 @@ from debvader_tpu.models.distributions import (
     mvn_params_size,
     softplus_tril,
 )
-from debvader_tpu.models.layers import ConvTranspose2DTF, PReLU
+from debvader_tpu.models.layers import ConvTranspose2DTF, PReLU, SubpixelConv2D
 
 __all__ = [
     "Encoder",
@@ -112,10 +112,15 @@ class Decoder(nn.Module):
             h = PReLU()(h)
             h = ConvTranspose2DTF(cfg.filters[i], k, strides=(1, 1), dtype=dtype)(h)
             h = PReLU()(h)
-        h = nn.Conv(
-            cfg.nb_of_bands * 2, (3, 3), padding="SAME", dtype=dtype,
-            param_dtype=jnp.float32,
-        )(h)
+        if cfg.decoder_subpixel:
+            # Same params at the same tree position ("Conv_0") as the stock
+            # conv below — opt-in lane-occupancy recast, ckpt-compatible.
+            h = SubpixelConv2D(cfg.nb_of_bands * 2, dtype=dtype, name="Conv_0")(h)
+        else:
+            h = nn.Conv(
+                cfg.nb_of_bands * 2, (3, 3), padding="SAME", dtype=dtype,
+                param_dtype=jnp.float32,
+            )(h)
         h = nn.relu(h)
         # Crop back to the stamp size; odd crops take one extra pixel at the
         # end, matching Keras Cropping2D((c//2, c//2+1)) (model/model.py:141-148).

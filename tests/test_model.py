@@ -287,3 +287,26 @@ def test_subpixel_stride1_odd_input_falls_back():
         np.asarray(ref_mod.apply(variables, x)),
         atol=2e-5,
     )
+
+
+def test_subpixel_head_conv_matches_stock_conv():
+    """SubpixelConv2D (output-patch recast of the stride-1 forward conv)
+    matches flax.linen.Conv from the same params, and its parameter tree is
+    identical (kernel HWIO + bias)."""
+    from debvader_tpu.models.layers import SubpixelConv2D
+    from flax import linen as nn
+
+    rng = np.random.default_rng(19)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 32)), jnp.float32)
+    ref_mod = nn.Conv(12, (3, 3), padding="SAME")
+    variables = ref_mod.init(jax.random.PRNGKey(0), x)
+    sub_mod = SubpixelConv2D(12)
+    sub_shapes = jax.tree_util.tree_map(
+        lambda a: a.shape, sub_mod.init(jax.random.PRNGKey(0), x)
+    )
+    assert sub_shapes == jax.tree_util.tree_map(lambda a: a.shape, variables)
+    np.testing.assert_allclose(
+        np.asarray(sub_mod.apply(variables, x)),
+        np.asarray(ref_mod.apply(variables, x)),
+        atol=2e-5,
+    )
