@@ -25,7 +25,13 @@ from debvader_tpu.models.distributions import PixelNormal
 from debvader_tpu.models.vae import DeblenderVAE
 from debvader_tpu.ops.normalize import denormalize_distribution, normalize_non_linear
 
-__all__ = ["deblend", "deblend_jit", "deblend_samples", "deblend_sample_stats"]
+__all__ = [
+    "deblend",
+    "deblend_jit",
+    "deblend_samples",
+    "deblend_sample_stats",
+    "padded_forward",
+]
 
 _PADDED_BATCH_BUCKETS = (1, 8, 32, 128, 512, 2048, 8192)
 
@@ -59,6 +65,25 @@ def deblend_jit(
     if normalise:
         dist = denormalize_distribution(dist)
     return dist
+
+
+def padded_forward(fwd, images, rng) -> PixelNormal:
+    """Run an ``(images, rng) -> (loc, scale)`` forward (e.g. a
+    make_quantized_forward closure) with the same batch-bucket padding as
+    :func:`deblend`, so repeated calls reuse one compiled program.
+
+    ``fwd`` owns the finite guard and any normalize/denormalize bracket
+    (make_quantized_forward bakes them in); this helper only pads, calls,
+    and un-pads."""
+    x = jnp.asarray(images, jnp.float32)
+    if x.ndim == 3:
+        x = x[None]
+    n = x.shape[0]
+    m = _bucket(n)
+    if m != n:
+        x = jnp.concatenate([x, jnp.zeros((m - n,) + x.shape[1:], x.dtype)])
+    loc, scale = fwd(x, rng)
+    return PixelNormal(loc[:n], scale[:n])
 
 
 def deblend(

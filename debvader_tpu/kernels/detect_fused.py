@@ -124,10 +124,17 @@ def matched_filter_parents(
     thresholds: (T,) per-tile detection thresholds.
 
     Returns (filt (T, P, P) float32, dir_code (T, P, P) int32,
-    parent (T, P, P) int32) where P = F rounded up to the tile grid; the
-    padded region carries dir_code 4 / parent 0 / filt 0, so the stack can
-    be row-flattened straight into kernels/label_select.py without
-    re-padding.  Parent values are per-field flat indices (row*F + col).
+    parent (T, P, P) int32) where P = F rounded up to the tile grid.
+    Padded-region pixels carry dir_code 4 / parent 0 (self-rooted), so the
+    stack can be row-flattened straight into kernels/label_select.py
+    without re-padding.  Field isolation does NOT rely on pad rows
+    existing between fields (P == F leaves none): out-of-field neighbors
+    enter the steepest-ascent race as -inf (idx < 0 mask), so no in-field
+    pixel's parent ever points outside its own field.  CAUTION: ``filt``
+    in the padded ring is the raw conv output — within 3 px of the field
+    edge its taps reach real pixels and it can exceed the threshold; crop
+    to [:F, :F] before thresholding (ops/detection.py does).  Parent
+    values are per-field flat indices (row*F + col).
     """
     kernel = np.asarray(kernel, np.float32)
     if kernel.shape != (7, 7):

@@ -93,22 +93,9 @@ def pack_subpixel_kernel_s1(w: jax.Array) -> jax.Array:
     kh, kw, cout, cin = w.shape
     if (kh, kw) != (3, 3):
         raise ValueError(f"subpixel pack requires a 3x3 kernel, got {kh}x{kw}")
-    # Forward-conv kernel u[m, n, cin, cout] = w[2-m, 2-n].T
-    u = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
-    empty = jnp.zeros((cin, cout), w.dtype)
-    taps = []
-    for dy in range(4):
-        for dx in range(4):
-            phases = []
-            for py in range(2):
-                for px in range(2):
-                    my = dy - py
-                    mx = dx - px
-                    ok = 0 <= my <= 2 and 0 <= mx <= 2
-                    phases.append(u[my, mx] if ok else empty)
-            taps.append(jnp.stack(phases, axis=1))  # (cin, 4, cout)
-    packed = jnp.stack(taps, axis=0).reshape(4, 4, cin, 4 * cout)
-    return packed
+    # Forward-conv HWIO kernel u[m, n, cin, cout] = w[2-m, 2-n].T; the
+    # phase/tap packing is then the forward-conv one.
+    return pack_subpixel_kernel_fwd(jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2)))
 
 
 def pack_subpixel_kernel_fwd(w: jax.Array) -> jax.Array:

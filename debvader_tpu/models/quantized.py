@@ -127,6 +127,11 @@ class QuantizedVAE:
     quantize_dense: bool = True
     quantize_final_conv: bool = False
     calib_stats: dict[str, float] = field(default_factory=dict)
+    # Whether calibration saw tanh(arcsinh(x))-normalized stamps.  Serving
+    # must apply the same transform (DeblendField validates this): scales
+    # calibrated on raw survey fluxes are orders of magnitude too wide for
+    # (-1, 1)-normalized inputs, quantizing them all to ~0.
+    normalise: bool = False
 
     @property
     def cfg(self) -> ModelConfig:
@@ -345,16 +350,25 @@ def quantize_vae(
     rng: jax.Array | None = None,
     quantize_dense: bool = True,
     quantize_final_conv: bool = False,
+    normalise: bool = False,
 ) -> QuantizedVAE:
     """Calibrate activation scales on `calib_images` and quantize weights.
 
     Calibration runs the float forward once (jitted) and records the max
     absolute activation at every quantization point; representative stamps
     (a few hundred covering the survey's flux range) are enough — scales
-    are max-abs, so extra images only ever widen them."""
+    are max-abs, so extra images only ever widen them.
+
+    ``normalise=True`` calibrates on tanh(arcsinh(x))-normalized stamps;
+    pass it when the serving pipeline will run with ``normalise=True``
+    (DeblendField rejects a mismatch — see QuantizedVAE.normalise)."""
     cfg = model.cfg
     x = jnp.asarray(calib_images, jnp.float32)
     x = jnp.where(jnp.isfinite(x), x, 0.0)
+    if normalise:
+        from debvader_tpu.ops.normalize import normalize_non_linear
+
+        x = normalize_non_linear(x)
     rng = jax.random.PRNGKey(0) if rng is None else rng
 
     @jax.jit
@@ -393,6 +407,7 @@ def quantize_vae(
         quantize_dense=quantize_dense,
         quantize_final_conv=quantize_final_conv,
         calib_stats=calib_stats,
+        normalise=normalise,
     )
 
 
@@ -422,14 +437,31 @@ def quantized_forward(
 
 def make_quantized_forward(qv: QuantizedVAE, z_mode: str = "sample"):
     """Jitted serving closure: (variables, qweights, act_scales, images,
-    rng) are traced so recalibration or weight updates don't recompile."""
+    rng) are traced so recalibration or weight updates don't recompile.
+
+    The finite guard and (when the bundle was calibrated with
+    ``normalise=True``) the tanh(arcsinh) normalize/denormalize bracket run
+    inside the jit, mirroring api.deblend_jit — callers never re-implement
+    the pre/post pipeline."""
     cfg = qv.cfg
+    normalise = qv.normalise
 
     @jax.jit
     def fwd(variables, qweights, act_scales, images, rng):
+        from debvader_tpu.ops.normalize import (
+            denormalize_distribution,
+            normalize_non_linear,
+        )
+
         x = jnp.asarray(images, jnp.float32)
+        # zero non-finite pixels BEFORE normalizing, like api.deblend_jit:
+        # tanh(arcsinh(inf)) = 1.0 would slip past as maximal signal
         x = jnp.where(jnp.isfinite(x), x, 0.0)
+        if normalise:
+            x = normalize_non_linear(x)
         dist, _ = _forward(cfg, variables, x, rng, z_mode, qweights, act_scales, None)
+        if normalise:
+            dist = denormalize_distribution(dist)
         return dist.loc, dist.scale
 
     return partial(fwd, qv.variables, qv.qweights, qv.act_scales)

@@ -559,9 +559,12 @@ def _detect_core_stack(xs: jax.Array, cfg: DetectionConfig):
     """Fused detect core over a (T, F, F) stack: vmapped background mesh,
     then ONE Pallas pass (matched filter + threshold + watershed parents +
     direction codes, kernels/detect_fused.py) and the label-resolution
-    fixpoint over the row-flattened stack (tile gaps carry direction code 4,
-    so labels cannot cross tiles).  Returns (labels, filt, globalrms) with
-    the same semantics as vmapped _detect_core."""
+    fixpoint over the row-flattened stack.  Labels cannot cross fields —
+    not because of pad rows between them (the padded size can equal F,
+    leaving none) but because the parent race masks out-of-field neighbors
+    to -inf, so no pixel's parent chain ever leaves its own field (see
+    matched_filter_parents).  Returns (labels, filt, globalrms) with the
+    same semantics as vmapped _detect_core."""
     from debvader_tpu.kernels.detect_fused import matched_filter_parents
     from debvader_tpu.kernels.label_select import label_select_fixpoint
 
@@ -703,8 +706,9 @@ def _batched_core_fn(cfg: DetectionConfig, mesh):
             labels, filt, grms = _detect_core_stack(xs, cfg)
         elif mesh is not None and _fused_enabled(cfg):
             # Every stage of the fused core is per-tile independent
-            # (per-tile background/threshold, intra-tile watershed with
-            # tile-gap direction codes, per-field flat parent indices), so
+            # (per-tile background/threshold, intra-tile watershed whose
+            # parent race never leaves the field, per-field flat parent
+            # indices), so
             # the stack shards over 'data' with no collectives: shard_map
             # hands each device its local (T/n, F, F) slab and the Pallas
             # kernels run per shard.  The caller pads T to a multiple of

@@ -97,6 +97,14 @@ class DeblendField:
                     "quantized serving and mesh-sharded inference are "
                     "mutually exclusive (quantize per-chip instead)"
                 )
+            if bool(getattr(quantized, "normalise", False)) != bool(normalise):
+                raise ValueError(
+                    f"quantized bundle was calibrated with normalise="
+                    f"{getattr(quantized, 'normalise', False)} but the pipeline "
+                    f"runs with normalise={normalise}; int8 activation scales "
+                    f"only match the flux distribution they were calibrated "
+                    f"on — re-run quantize_vae(..., normalise={normalise})"
+                )
             from debvader_tpu.models.quantized import make_quantized_forward
 
             self._quant_fwd = make_quantized_forward(quantized)
@@ -184,32 +192,11 @@ class DeblendField:
         single-chip jitted forward.  Returns the output PixelNormal (on
         device)."""
         if self.quantized is not None:
-            from debvader_tpu.api import _bucket
-            from debvader_tpu.models.distributions import PixelNormal
-            from debvader_tpu.ops.normalize import (
-                denormalize_distribution,
-                normalize_non_linear,
-            )
+            from debvader_tpu.api import padded_forward
 
-            n = cutouts.shape[0]
-            m = _bucket(n)
-            x = jnp.asarray(cutouts, jnp.float32)
-            if m != n:
-                x = jnp.concatenate(
-                    [x, jnp.zeros((m - n,) + x.shape[1:], x.dtype)]
-                )
-            # zero non-finite pixels BEFORE normalizing, like the float
-            # paths (api.deblend / parallel.sharded): tanh(arcsinh(inf))=1.0
-            # would otherwise slip past the forward's finite guard as
-            # maximal signal
-            x = jnp.where(jnp.isfinite(x), x, 0.0)
-            if self.normalise:
-                x = normalize_non_linear(x)
-            loc, scale = self._quant_fwd(x, self._next_rng())
-            dist = PixelNormal(loc[:n], scale[:n])
-            if self.normalise:
-                dist = denormalize_distribution(dist)
-            return dist
+            # guard + normalize/denormalize live inside the quantized jit
+            # (make_quantized_forward), mirroring api.deblend_jit
+            return padded_forward(self._quant_fwd, cutouts, self._next_rng())
         if self.mesh is not None:
             _, dist = self._deblend_sharded(cutouts)
             return dist

@@ -205,9 +205,7 @@ class IterativeDeblendField(DeblendField):
         out_dev = residual_dev[0]
         if transfer_dtype is not None:
             out_dev = out_dev.astype(jnp.dtype(transfer_dtype))
-        residual_field[0] = np.asarray(
-            np.asarray(out_dev), self.field_image.dtype
-        )
+        residual_field[0] = np.asarray(out_dev, self.field_image.dtype)
         self.res_deblend = catalog
         return catalog, residual_field
 

@@ -383,25 +383,33 @@ def train_network(
         # Metrics stay on device (running sums) and are fetched once per
         # epoch — a float() per step would force a device->host sync that
         # stalls the dispatch pipeline on every batch.
+        # Per-batch means are weighted by batch size so the trailing
+        # partial batch contributes per-sample, matching Keras fit's
+        # sample-weighted epoch averages (reference training/train.py:27-37)
+        # — with equal weights a 1-stamp tail would count like a full batch.
         sums: dict[str, jax.Array] | None = None
-        n_steps = 0
+        n_samples = 0
         if use_loader:
             for _ in range(len(training_data)):
                 bx, by = training_data.next_batch()
                 state, terms = run_train(state, bx, by)
+                b = len(bx)
+                terms = jax.tree_util.tree_map(lambda t: t * b, terms)
                 sums = terms if sums is None else jax.tree_util.tree_map(
                     jnp.add, sums, terms
                 )
-                n_steps += 1
+                n_samples += b
         else:
             for idx in _batches(
                 len(x_tr), batch_size, shuffle_rng if train_cfg.shuffle else None
             ):
                 state, terms = run_train(state, x_tr[idx], y_tr[idx])
+                b = len(idx)
+                terms = jax.tree_util.tree_map(lambda t: t * b, terms)
                 sums = terms if sums is None else jax.tree_util.tree_map(
                     jnp.add, sums, terms
                 )
-                n_steps += 1
+                n_samples += b
 
         val_sums: dict[str, jax.Array] | None = None
         n_val = 0
@@ -421,7 +429,7 @@ def train_network(
             n_val += 1
 
         logs = (
-            {k: float(v) / n_steps for k, v in jax.device_get(sums).items()}
+            {k: float(v) / n_samples for k, v in jax.device_get(sums).items()}
             if sums
             else {}
         )

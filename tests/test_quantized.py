@@ -150,3 +150,41 @@ def test_sampled_mode_statistics(tiny):
     dl = np.max(np.abs(np.asarray(post_q.loc) - np.asarray(post_ref.loc)))
     spread = np.asarray(post_ref.loc).std() + 1e-9
     assert dl < 1.0 * spread + 0.1
+
+
+def test_normalise_mismatch_rejected_and_matched_works(tiny):
+    """A quantized bundle calibrated on raw fluxes must not silently serve
+    a normalise=True pipeline (scales are orders of magnitude too wide for
+    (-1,1)-normalized inputs, quantizing everything to ~0) — DeblendField
+    rejects the mismatch; the matched combination serves sanely."""
+    from debvader_tpu.pipeline.field import DeblendField
+
+    model, variables, x = tiny
+    field = np.zeros((1, 64, 64, 3), np.float32)
+    field[0, 28:35, 28:35, :] = 100.0
+
+    qv_raw = q.quantize_vae(model, variables, x, rng=jax.random.PRNGKey(1))
+    with pytest.raises(ValueError, match="normalise"):
+        DeblendField(
+            (model, variables), field, cutout_size=23, nb_of_bands=3,
+            normalise=True, quantized=qv_raw,
+        )
+
+    qv_norm = q.quantize_vae(
+        model, variables, x, rng=jax.random.PRNGKey(1), normalise=True
+    )
+    assert qv_norm.normalise
+    with pytest.raises(ValueError, match="normalise"):
+        DeblendField(
+            (model, variables), field, cutout_size=23, nb_of_bands=3,
+            normalise=False, quantized=qv_norm,
+        )
+
+    df = DeblendField(
+        (model, variables), field, cutout_size=23, nb_of_bands=3,
+        normalise=True, quantized=qv_norm,
+    )
+    res = df.deblend_field(np.asarray([[0, 0]]))
+    means = np.stack(list(res["output_images_mean"]))
+    assert means.shape == (1, 23, 23, 3)
+    assert np.isfinite(means).all()
