@@ -310,3 +310,34 @@ def test_subpixel_head_conv_matches_stock_conv():
         np.asarray(ref_mod.apply(variables, x)),
         atol=2e-5,
     )
+
+
+def test_decoder_subpixel_gradients_match():
+    """The sub-pixel recast is a linear repack of the SAME canonical
+    parameters computed inside the forward, so loss gradients w.r.t. every
+    variable must match the stock decoder's — decoder_subpixel is safe to
+    leave on during training (fine-tuning a serving-optimized model needs
+    no weight surgery)."""
+    cfg = ModelConfig()
+    cfg_sub = ModelConfig(decoder_subpixel=True)
+    m, m_sub = DeblenderVAE(cfg), DeblenderVAE(cfg_sub)
+    variables = init_vae(m, jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(2, 59, 59, 6)), jnp.float32)
+
+    def loss(v, model):
+        dist, _ = model.apply(v, x, z_mode="mean")
+        # NLL-shaped scalar touching both loc and scale heads
+        return jnp.mean((dist.loc - x) ** 2 / dist.scale + jnp.log(dist.scale))
+
+    g = jax.grad(loss)(variables, m)
+    g_sub = jax.grad(loss)(variables, m_sub)
+    flat, _ = jax.tree_util.tree_flatten_with_path(g)
+    flat_sub, _ = jax.tree_util.tree_flatten_with_path(g_sub)
+    assert len(flat) == len(flat_sub)
+    for (path, a), (path_sub, b) in zip(flat, flat_sub):
+        assert path == path_sub
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(
+            b, a, atol=3e-5 * scale + 1e-8, err_msg=jax.tree_util.keystr(path)
+        )
