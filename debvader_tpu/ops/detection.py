@@ -365,7 +365,52 @@ def _detect_core(image: jax.Array, cfg: DetectionConfig):
     return labels, is_peak, filt, fore, globalrms
 
 
-def _multi_threshold_merge(labels, filt, threshold, cfg: DetectionConfig):
+def _saddle_edges_coo(idx, lab, val, f):
+    """Saddle triples (lo, hi, h) between touching segments, computed from
+    the masked-pixel COO (ascending flat indices ``idx``, per-pixel labels,
+    filtered values) instead of four dense (F, F) slice comparisons: for
+    each unordered neighbor direction a pair exists where ``idx + d`` is
+    also masked (found by one searchsorted per direction) with a different
+    label; the saddle height is the smaller filtered value.  The pair set
+    and heights are identical to the dense extraction (only the order
+    differs, and the downstream per-pair scatter-max is order-independent).
+    Returns (None, None, None) when no segments touch."""
+    col = idx % f
+    lo_parts, hi_parts, h_parts = [], [], []
+    # (flat offset, source-pixel constraint) for E, S, SE, SW neighbors;
+    # row overflow needs no mask (idx + d past f*f never matches).
+    for d, ok in (
+        (1, col < f - 1),
+        (f, None),
+        (f + 1, col < f - 1),
+        (f - 1, col > 0),
+    ):
+        src = np.flatnonzero(ok) if ok is not None else np.arange(len(idx))
+        cand = idx[src] + d
+        pos = np.searchsorted(idx, cand)
+        m = np.flatnonzero(pos < len(idx))
+        m = m[idx[pos[m]] == cand[m]]
+        i_src, i_dst = src[m], pos[m]
+        t = lab[i_src] != lab[i_dst]
+        if not t.any():
+            continue
+        la = lab[i_src[t]].astype(np.int64)
+        lb = lab[i_dst[t]].astype(np.int64)
+        lo_parts.append(np.minimum(la, lb))
+        hi_parts.append(np.maximum(la, lb))
+        h_parts.append(
+            np.minimum(val[i_src[t]], val[i_dst[t]]).astype(np.float64)
+        )
+    if not lo_parts:
+        return None, None, None
+    return (
+        np.concatenate(lo_parts),
+        np.concatenate(hi_parts),
+        np.concatenate(h_parts),
+    )
+
+
+def _merge_labels_coo(idx, lab, val, f, threshold, cfg: DetectionConfig):
     """SExtractor-style quantized deblending criterion on watershed segments.
 
     The reference's sep.extract uses 64 exponentially-spaced thresholds
@@ -377,39 +422,20 @@ def _multi_threshold_merge(labels, filt, threshold, cfg: DetectionConfig):
     splits at *every* strict local max; this pass merges back the splits
     sep would not have made.
 
-    Host-side numpy over the (F, F) label map: saddle heights come from
-    8-neighbor boundary pixels, the quantization uses each touching pair's
-    joint peak, merges apply weakest-peak-first.  Returns the relabeled map.
-    """
-    f = labels.shape[0]
-    flat = labels.ravel()
-    pix_mask = flat >= 0
-    if not pix_mask.any():
-        return labels
-
-    # --- saddle heights between touching segments (vectorized) ------------
-    lo_parts, hi_parts, h_parts = [], [], []
-    for dy, dx in ((0, 1), (1, 0), (1, 1), (1, -1)):
-        a = labels[max(0, -dy) : f - max(0, dy), max(0, -dx) : f - max(0, dx)]
-        b = labels[max(0, dy) : f + min(0, dy) or f, max(0, dx) : f + min(0, dx) or f]
-        fa = filt[max(0, -dy) : f - max(0, dy), max(0, -dx) : f - max(0, dx)]
-        fb = filt[max(0, dy) : f + min(0, dy) or f, max(0, dx) : f + min(0, dx) or f]
-        touch = (a >= 0) & (b >= 0) & (a != b)
-        if not touch.any():
-            continue
-        la, lb = a[touch], b[touch]
-        lo_parts.append(np.minimum(la, lb))
-        hi_parts.append(np.maximum(la, lb))
-        h_parts.append(np.minimum(fa[touch], fb[touch]))
-    if not lo_parts:
-        return labels
-    lo = np.concatenate(lo_parts).astype(np.int64)
-    hi = np.concatenate(hi_parts).astype(np.int64)
-    h = np.concatenate(h_parts).astype(np.float64)
+    Operates on the masked-pixel COO (see _saddle_edges_coo) — the masked
+    set is a few percent of the field, so every reduction here scans ~30x
+    fewer elements than the dense formulation, which dominated the 8k host
+    stage.  Merges apply weakest-peak-first.  Returns the relabeled
+    per-pixel label array (``lab`` itself when nothing merges)."""
+    if len(idx) == 0:
+        return lab
+    lo, hi, h = _saddle_edges_coo(idx, lab, val, f)
+    if lo is None:
+        return lab
 
     # Compact labels (flat peak indices) to 0..L-1 ids; max saddle height
     # per touching pair via a single unique/scatter-max pass.
-    labs = np.unique(flat[pix_mask]).astype(np.int64)
+    labs = np.unique(lab)
     L = len(labs)
     ia = np.searchsorted(labs, lo)
     ib = np.searchsorted(labs, hi)
@@ -419,12 +445,12 @@ def _multi_threshold_merge(labels, filt, threshold, cfg: DetectionConfig):
     ea = ukey // L
     eb = ukey % L
 
-    # Per-segment peaks and positive fluxes via scatter-adds.
-    fr = filt.ravel()
-    w = np.where(pix_mask, np.maximum(fr, 0.0), 0.0)
-    safe = np.where(pix_mask, flat, 0)
-    flux = np.bincount(safe, weights=w, minlength=f * f)[labs]
-    peak = fr[labs].astype(np.float64)
+    # Per-segment peaks and positive fluxes via scatter-adds.  A peak pixel
+    # is always masked (the parent chain ascends in filtered value from a
+    # masked pixel), so its value comes straight from the COO.
+    cid = np.searchsorted(labs, lab)
+    flux = np.bincount(cid, weights=np.maximum(val, 0.0), minlength=L)
+    peak = val[np.searchsorted(idx, labs)].astype(np.float64)
 
     nthr = max(cfg.deblend_nthresh, 1)
     thr = max(float(threshold), 1e-30)
@@ -446,10 +472,24 @@ def _multi_threshold_merge(labels, filt, threshold, cfg: DetectionConfig):
             ea, eb, eh, peak, flux.copy(), order, nthr, thr, cfg.deblend_cont
         )
     if np.array_equal(roots, np.arange(L)):
+        return lab
+    return labs[roots][cid]
+
+
+def _multi_threshold_merge(labels, filt, threshold, cfg: DetectionConfig):
+    """Dense (F, F) wrapper over the COO merge (_merge_labels_coo) — kept
+    for single-field callers and direct tests; production tiled detection
+    feeds the COO straight through _postprocess_coo."""
+    f = labels.shape[0]
+    flat = labels.ravel()
+    sel = np.flatnonzero(flat >= 0)
+    if len(sel) == 0:
         return labels
-    final = labs[roots]  # final original-label value per compact id
+    lab2 = _merge_labels_coo(
+        sel, flat[sel].astype(np.int64), filt.ravel()[sel], f, threshold, cfg
+    )
     out_flat = flat.copy()
-    out_flat[pix_mask] = final[np.searchsorted(labs, flat[pix_mask])]
+    out_flat[sel] = lab2
     return out_flat.reshape(f, f)
 
 
@@ -616,22 +656,48 @@ def detect_sources(image_2d, cfg: DetectionConfig | None = None):
 
 
 def _postprocess_core(labels_np, filt_np, globalrms, cfg, timings=None):
-    """Host stage after the jitted core: multi-threshold merge, minarea,
-    centroids, CLEAN.  Split out so tiled/sharded callers can run the core
-    batched on device and post-process each tile here.
+    """Host stage after the jitted core, dense-map entry point: derives the
+    masked-pixel COO with one flatnonzero and delegates to
+    :func:`_postprocess_coo` (every reduction then scans masked pixels
+    only).  Tiled/sharded callers that already hold the COO download call
+    _postprocess_coo directly."""
+    f = labels_np.shape[0]
+    flat = np.asarray(labels_np).ravel()
+    sel = np.flatnonzero(flat >= 0)
+    return _postprocess_coo(
+        sel,
+        flat[sel],
+        np.asarray(filt_np).ravel()[sel],
+        f,
+        globalrms,
+        cfg,
+        timings=timings,
+    )
 
-    Peaks are derived from the label map itself (a pixel is a peak iff it
-    is its own pointer-jumping fixpoint; merged-away peaks lose that
-    property during relabeling), so the core's is_peak output never needs
-    a device->host transfer.
+
+def _postprocess_coo(idx, lab, val, f, globalrms, cfg, timings=None):
+    """Host stage after the jitted core: multi-threshold merge, minarea,
+    centroids, CLEAN — operating directly on the masked-pixel COO
+    (ascending per-field flat indices ``idx``, per-pixel watershed labels,
+    filtered values), which is exactly what the device compaction downloads.
+    The masked set is a few percent of the field, so no stage ever scans a
+    dense (F, F) map; the previous dense formulation's 4-direction saddle
+    slices and full-size bincounts dominated 8k-coadd host time.
+
+    Peaks are derived from the labels (a pixel is a peak iff it is its own
+    pointer-jumping fixpoint; merged-away peaks lose that property during
+    relabeling), so the core's is_peak output never needs a transfer.
 
     ``timings``: optional dict accumulating per-stage wall seconds
-    ('merge', 'segstats', 'clean') across calls (utils.profiling.stage_timer).
+    ('merge', 'segstats', 'clean', 'reconstruct' — the last is the single
+    scatter rebuilding the dense label map for the result schema).
     """
     from debvader_tpu.utils.profiling import stage_timer
 
     t = timings if timings is not None else {}
-    f = labels_np.shape[0]
+    idx = np.asarray(idx, np.int64)
+    lab = np.asarray(lab, np.int64)
+    val = np.asarray(val, np.float32)
     # Quantized multi-threshold deblending criterion (sep's
     # deblend_nthresh/deblend_cont) applied to the watershed splits.
     if cfg.threshold_scaling == "matched":
@@ -642,44 +708,47 @@ def _postprocess_core(labels_np, filt_np, globalrms, cfg, timings=None):
         knorm = 1.0
     thr_val = cfg.thresh * float(globalrms) * knorm
     with stage_timer(t, "merge"):
-        labels_np = _multi_threshold_merge(labels_np, filt_np, thr_val, cfg)
+        lab = _merge_labels_coo(idx, lab, val, f, thr_val, cfg)
 
-    # Segment statistics over the masked pixels only (a few percent of the
-    # field) — full-size index grids / where-passes over every pixel used
-    # to dominate the host stage.
     with stage_timer(t, "segstats"):
-        flat_labels = labels_np.ravel()
-        size = f * f
-        sel = np.flatnonzero(flat_labels >= 0)
-        lab_sel = flat_labels[sel]
-        w_sel = np.maximum(filt_np.ravel()[sel], 0.0)
+        w_sel = np.maximum(val, 0.0)
+        ulab = np.unique(lab)
+        nl = len(ulab)
+        cid = np.searchsorted(ulab, lab)
+        area = np.bincount(cid, minlength=nl).astype(np.float64)
+        flux = np.bincount(cid, weights=w_sel, minlength=nl)
+        ysum = np.bincount(cid, weights=w_sel * (idx // f), minlength=nl)
+        xsum = np.bincount(cid, weights=w_sel * (idx % f), minlength=nl)
 
-        area = np.bincount(lab_sel, minlength=size).astype(np.float64)
-        flux = np.bincount(lab_sel, weights=w_sel, minlength=size)
-        ysum = np.bincount(lab_sel, weights=w_sel * (sel // f), minlength=size)
-        xsum = np.bincount(lab_sel, weights=w_sel * (sel % f), minlength=size)
-
-        peak_flat = sel[lab_sel == sel]  # pointer-jumping fixpoints = peaks
-        keep = peak_flat[area[peak_flat] >= cfg.minarea]
-        fl = np.maximum(flux[keep], 1e-30)
-        ys = ysum[keep] / fl
-        xs = xsum[keep] / fl
-        peak_val = filt_np.ravel()[keep]
+        peak_flat = idx[lab == idx]  # pointer-jumping fixpoints = peaks
+        pcid = np.searchsorted(ulab, peak_flat)
+        kmask = area[pcid] >= cfg.minarea
+        keep = peak_flat[kmask]
+        kcid = pcid[kmask]
+        fl = np.maximum(flux[kcid], 1e-30)
+        ys = ysum[kcid] / fl
+        xs = xsum[kcid] / fl
+        peak_val = val[np.searchsorted(idx, keep)]
 
     if cfg.clean and len(keep) > 1:
         with stage_timer(t, "clean"):
             keep_mask = _clean_pass(ys, xs, peak_val, cfg)
             keep = keep[keep_mask]
+            kcid = kcid[keep_mask]
             ys, xs = ys[keep_mask], xs[keep_mask]
 
-    fl = np.maximum(flux[keep], 1e-30)
+    with stage_timer(t, "reconstruct"):
+        dense = np.full(f * f, -1, np.int32)
+        dense[idx] = lab
+        dense = dense.reshape(f, f)
+
     return {
         "y": ys,
         "x": xs,
-        "area": area[keep],
-        "flux": flux[keep],
+        "area": area[kcid],
+        "flux": flux[kcid],
         "peak_yx": np.stack([keep // f, keep % f], -1) if len(keep) else np.zeros((0, 2), int),
-        "labels": labels_np,
+        "labels": dense,
         "globalrms": float(globalrms),
     }
 
@@ -819,7 +888,9 @@ def detect_sources_batched(
             idx, lab, val, _ = _compact_masked_jit(labels, filt, k=k)
 
     # Three bulk D2H copies of the [:count] COO slices for ALL tiles
-    # (global ascending flat indices), then per-tile dense reconstruction.
+    # (global ascending flat indices), then per-tile COO postprocess —
+    # the dense label/filt maps are never rebuilt on the host (only the
+    # result schema's label map, one scatter inside _postprocess_coo).
     with stage_timer(t, "download"):
         idx_np, lab_np, val_np = jax.device_get((idx[:c], lab[:c], val[:c]))
     per_tile = f * f
@@ -827,16 +898,12 @@ def detect_sources_batched(
     out = []
     for i in range(n):
         s, e = bounds[i], bounds[i + 1]
-        with stage_timer(t, "reconstruct"):
-            dense_lab = np.full(per_tile, -1, np.int32)
-            dense_val = np.zeros(per_tile, np.float32)
-            local = idx_np[s:e] - i * per_tile
-            dense_lab[local] = lab_np[s:e]
-            dense_val[local] = val_np[s:e]
         out.append(
-            _postprocess_core(
-                dense_lab.reshape(f, f),
-                dense_val.reshape(f, f),
+            _postprocess_coo(
+                idx_np[s:e].astype(np.int64) - i * per_tile,
+                lab_np[s:e],
+                val_np[s:e],
+                f,
                 float(grms[i]),
                 cfg,
                 timings=t,
