@@ -440,3 +440,49 @@ def test_pallas_knob_escape_hatches(monkeypatch):
         DetectionConfig(use_pallas_filter=True, use_pallas_select=False)
     )
     assert held2.use_pallas_fused is None and not held2.use_pallas_filter
+
+
+def test_saddle_edges_coo_matches_dense_bruteforce():
+    """_saddle_edges_coo must reproduce the dense 4-direction slice
+    extraction exactly — including the column-wrap traps where idx+1 /
+    idx+f-1 / idx+f+1 land on the next row — on adversarial random masks
+    (checked as the per-pair scatter-max the merge consumes, which is
+    order-independent)."""
+    from debvader_tpu.ops.detection import _saddle_edges_coo
+
+    rng = np.random.default_rng(23)
+    for f, density in [(16, 0.9), (32, 0.3), (24, 0.05), (8, 1.0)]:
+        labels = np.full((f, f), -1, np.int64)
+        mask = rng.random((f, f)) < density
+        # labels are arbitrary flat "peak" ids, many duplicates
+        labels[mask] = rng.integers(0, f * f, mask.sum())
+        filt = rng.normal(size=(f, f)).astype(np.float32)
+
+        # dense brute force over all 4 unordered neighbor directions
+        pairs = {}
+        for dy, dx in ((0, 1), (1, 0), (1, 1), (1, -1)):
+            for y in range(f):
+                for x in range(f):
+                    y2, x2 = y + dy, x + dx
+                    if not (0 <= y2 < f and 0 <= x2 < f):
+                        continue
+                    la, lb = labels[y, x], labels[y2, x2]
+                    if la < 0 or lb < 0 or la == lb:
+                        continue
+                    key = (min(la, lb), max(la, lb))
+                    h = min(filt[y, x], filt[y2, x2])
+                    pairs[key] = max(pairs.get(key, -np.inf), float(h))
+
+        flat = labels.ravel()
+        sel = np.flatnonzero(flat >= 0)
+        lo, hi, h = _saddle_edges_coo(
+            sel.astype(np.int64), flat[sel], filt.ravel()[sel], f
+        )
+        if lo is None:
+            assert not pairs
+            continue
+        got = {}
+        for a, b, hh in zip(lo, hi, h):
+            key = (int(a), int(b))
+            got[key] = max(got.get(key, -np.inf), float(hh))
+        assert got == pairs
