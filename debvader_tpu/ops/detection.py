@@ -870,7 +870,10 @@ def detect_sources_batched(
     if mesh is not None:
         pad = (-n) % mesh.shape["data"]
         if pad:
-            x = jnp.concatenate([x, x[:pad]])
+            # cyclic repeat: pad can exceed n (e.g. 3 tiles on an 8-chip
+            # mesh needs 5 pad rows), where a plain x[:pad] underfills and
+            # shard_map rejects the non-divisible stack
+            x = jnp.concatenate([x, x[jnp.arange(pad) % n]])
     with stage_timer(t, "core"):
         labels, filt, grms, idx, lab, val, count = _batched_core_fn(cfg, mesh)(x)
         c = int(count)  # one scalar sync for the whole stack

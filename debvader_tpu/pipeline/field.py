@@ -35,6 +35,18 @@ from debvader_tpu.ops.shift import render_field
 __all__ = ["DeblendField"]
 
 
+def _check_reduced_dtype(name: str, value):
+    """Validate an opt-in reduced-precision transfer dtype: only the two
+    float formats that keep float32 range at reduced mantissa make sense
+    for field pixels — anything else (int8, float8, ...) would silently
+    corrupt the residual."""
+    if value is not None and str(value) not in ("bfloat16", "float16"):
+        raise ValueError(
+            f"{name} must be 'bfloat16' or 'float16', got {value!r}"
+        )
+    return None if value is None else str(value)
+
+
 class DeblendField:
     def __init__(
         self,
@@ -108,14 +120,7 @@ class DeblendField:
             from debvader_tpu.models.quantized import make_quantized_forward
 
             self._quant_fwd = make_quantized_forward(quantized)
-        if upload_dtype is not None and str(upload_dtype) not in (
-            "bfloat16",
-            "float16",
-        ):
-            raise ValueError(
-                f"upload_dtype must be 'bfloat16' or 'float16', got {upload_dtype!r}"
-            )
-        self.upload_dtype = None if upload_dtype is None else str(upload_dtype)
+        self.upload_dtype = _check_reduced_dtype("upload_dtype", upload_dtype)
         self.nb_of_detected_objects: list[int] = []
         self.nb_of_deblended_galaxies: list[int] = []
         self.res_deblend = None
@@ -486,6 +491,7 @@ class DeblendField:
         """
         from debvader_tpu.utils.profiling import stage_timer
 
+        transfer_dtype = _check_reduced_dtype("transfer_dtype", transfer_dtype)
         t = timings if timings is not None else {}
         self.serving_timings = t
         with stage_timer(t, "upload"):

@@ -147,8 +147,10 @@ class IterativeDeblendField(DeblendField):
         import jax.numpy as jnp
         import pandas as pd
 
+        from debvader_tpu.pipeline.field import _check_reduced_dtype
         from debvader_tpu.pipeline.tiles import detect_objects_tiled
 
+        transfer_dtype = _check_reduced_dtype("transfer_dtype", transfer_dtype)
         field_dev = self._device_field(self.field_image)
         residual_dev = field_dev
         all_cols: dict[str, list] = {}

@@ -414,6 +414,12 @@ def train_network(
         val_sums: dict[str, jax.Array] | None = None
         n_val = 0
         val_rng = jax.random.fold_in(jax.random.PRNGKey(train_cfg.seed), epoch)
+        # int(n/bs) full batches like the reference's validation_steps
+        # (training/train.py:33) — except when the val set is smaller than
+        # one batch, where the reference passes a fractional
+        # validation_steps < 1 that Keras cannot run (degenerate config):
+        # we evaluate the one partial batch instead of nothing, so best-val
+        # checkpointing still works on tiny validation sets (PARITY.md #6).
         n_val_steps = max(int(len(x_va) / batch_size), 1)
         for i, idx in enumerate(
             _batches(len(x_va), batch_size, None, drop_remainder=len(x_va) >= batch_size)

@@ -37,38 +37,13 @@ BATCH = 4096
 ITERS = 8
 
 
-def pack_subpixel_kernel(w):
-    """(3, 3, cout, cin) TF-layout convT kernel -> (2, 2, cin, 4*cout) HWIO.
-
-    Derivation (per dim, stride 2, SAME, out = 2*in): forward-conv SAME on
-    even length 2S pads (0, 1), so the gradient is
-    y[2i + p] = sum_{k: k == p (mod 2)} x[(2i + p - k) / 2] * w[k].
-    p=0 reads x[i] (k=0) and x[i-1] (k=2); p=1 reads x[i] (k=1).  With a
-    2x2 conv whose padding is ((1,0),(1,0)), tap d in {0,1} reads x[i-1+d]:
-      w_packed[d, p-phase] = w[k] with k = p + 2*(1 - d).
-    Phase channel order is (py, px) row-major, matching
-    depth_to_space(y, 2) = y.reshape(N,S,S,2,2,C).transpose interleave.
-    """
-    kh, kw, cout, cin = w.shape
-    assert (kh, kw) == (3, 3)
-    packed = np.zeros((2, 2, cin, 4, cout), w.dtype)
-    for py in range(2):
-        for px in range(2):
-            for dy in range(2):
-                for dx in range(2):
-                    ky = py + 2 * (1 - dy)
-                    kx = px + 2 * (1 - dx)
-                    if ky < 3 and kx < 3:
-                        packed[dy, dx, :, py * 2 + px, :] = w[ky, kx].T
-    return jnp.asarray(packed.reshape(2, 2, cin, 4 * cout))
-
-
-def depth_to_space(y):
-    n, s, _, c4 = y.shape
-    c = c4 // 4
-    y = y.reshape(n, s, s, 2, 2, c)
-    y = y.transpose(0, 1, 3, 2, 4, 5)
-    return y.reshape(n, 2 * s, 2 * s, c)
+# The packing and depth-to-space come from the production module — the
+# benchmark must measure (and equivalence-assert) the shipped code path,
+# not a local copy that could drift.
+from debvader_tpu.models.layers import (  # noqa: E402
+    _depth_to_space as depth_to_space,
+    pack_subpixel_kernel,
+)
 
 
 def convt_ref(x, w):

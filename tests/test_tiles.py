@@ -247,3 +247,52 @@ def test_upload_dtype_reduced_precision_field():
 
     with pytest.raises(ValueError, match="upload_dtype"):
         _tiny_tdf(field, upload_dtype="int8")
+
+
+def test_mesh_padding_exceeds_stack_size():
+    """A tile stack SMALLER than the mesh's data axis must pad cyclically
+    (3 tiles on an 8-way mesh needs 5 pad rows; a plain x[:pad] underfills
+    and shard_map rejects the stack) — and the single-tile tile>=F fast
+    path must survive a mesh too."""
+    from debvader_tpu.ops.detection import detect_sources, detect_sources_batched
+    from debvader_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(0, 1, (128, 128)).astype(np.float32)
+    img[40:47, 50:57] += 40.0
+    mesh = make_mesh()
+    tiles = np.stack([img, img, img])
+    res = detect_sources_batched(tiles, DET, mesh=mesh)
+    assert len(res) == 3
+    ref = detect_sources(img, DET)
+    for r in res:
+        np.testing.assert_array_equal(r["labels"], ref["labels"])
+
+    objs = detect_objects_tiled(img, DET, tile=256, mesh=mesh)
+    assert len(objs) == len(ref["y"])
+
+
+def test_transfer_dtype_validated():
+    """transfer_dtype must reject anything but bfloat16/float16 — an int8
+    cast would silently zero the residual (review finding)."""
+    import pytest
+
+    from debvader_tpu.pipeline.field import DeblendField
+    from debvader_tpu.pipeline.iterative import IterativeDeblendField
+
+    cfg = ModelConfig(
+        stamp_size=23, nb_of_bands=3, latent_dim=4, filters=(4, 8), kernels=(3, 3)
+    )
+    model = DeblenderVAE(cfg)
+    variables = init_vae(model, jax.random.PRNGKey(0))
+    field = _field(100, [(50.0, 50.0, 3.0)], bands=3)
+    df = DeblendField((model, variables), field, cutout_size=23, nb_of_bands=3)
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        df.deblend_and_render(np.asarray([[0, 0]]), transfer_dtype="int8")
+    it = IterativeDeblendField(
+        (model, variables), field, cutout_size=23, nb_of_bands=3
+    )
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        it.iterative_deblend_and_render(
+            np.asarray([[0, 0]]), transfer_dtype="float8_e4m3fn"
+        )
