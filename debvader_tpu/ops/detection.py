@@ -849,8 +849,8 @@ def detect_sources_batched(
 
     ``timings``: optional dict accumulating per-stage wall seconds — 'core'
     (device detect incl. the count sync), 'download' (COO device->host),
-    'reconstruct' (dense per-tile label/filt rebuild), plus the
-    _postprocess_core stages ('merge', 'segstats', 'clean').
+    plus the _postprocess_coo stages ('merge', 'segstats', 'clean',
+    'reconstruct' — the result-schema dense-label scatter).
     """
     cfg = cfg or DetectionConfig()
     shape = np.shape(tiles)
