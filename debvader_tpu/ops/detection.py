@@ -641,9 +641,21 @@ def _detect_core_stack(xs: jax.Array, cfg: DetectionConfig):
 
 def detect_sources(image_2d, cfg: DetectionConfig | None = None):
     """Full detection on a 2D band.  Returns dict with 'y', 'x' (float
-    barycenters), 'area', 'flux', 'peak_yx', and the label map."""
+    barycenters), 'area', 'flux', 'peak_yx', and the label map.
+
+    Fields are square by contract — the whole pipeline's center-offset
+    convention (and the reference's: detect/detection.py:48-56,
+    extract/extraction.py both use one ``field_size``) is single-axis.  A
+    rectangular field raises instead of silently mis-tiling; crop or pad
+    to square first."""
     cfg = cfg or DetectionConfig()
     image = jnp.asarray(image_2d, jnp.float32)
+    if image.shape[0] != image.shape[1]:
+        raise ValueError(
+            f"detection requires a square field (got {image.shape}); crop "
+            f"or zero-pad to square — the center-offset convention is "
+            f"single-axis (reference detect/detection.py:48-56)"
+        )
     if _fused_enabled(cfg) and not cfg.use_pallas_filter:
         labels, filt, grms = _detect_core_stack(image[None], cfg)
         return _postprocess_core(
@@ -854,6 +866,11 @@ def detect_sources_batched(
     """
     cfg = cfg or DetectionConfig()
     shape = np.shape(tiles)
+    if len(shape) != 3 or shape[1] != shape[2]:
+        raise ValueError(
+            f"detection tiles must be a (T, F, F) square stack (got "
+            f"{shape}); see detect_sources for the square-field contract"
+        )
     n_padded = shape[0]
     if mesh is not None:
         n_padded += (-shape[0]) % mesh.shape["data"]

@@ -109,6 +109,14 @@ def detect_objects_tiled(
             img = img[..., b]
         band = 0  # already 2D
         f = img.shape[0]
+        shape = img.shape
+    if shape[0] != shape[1]:
+        raise ValueError(
+            f"detection requires a square field (got {tuple(shape[:2])}); "
+            f"the tiling grid and center-offset convention are single-axis "
+            f"— crop or zero-pad to square (a rectangular field would "
+            f"silently drop sources outside the leading-axis extent)"
+        )
     half = int(f / 2)
 
     if tile >= f:

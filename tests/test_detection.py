@@ -486,3 +486,22 @@ def test_saddle_edges_coo_matches_dense_bruteforce():
             key = (int(a), int(b))
             got[key] = max(got.get(key, -np.inf), float(hh))
         assert got == pairs
+
+
+def test_rectangular_field_rejected():
+    """Non-square fields raise loudly everywhere instead of silently
+    mis-tiling: the pipeline's center-offset convention (like the
+    reference's) is single-axis, and a rectangular field through the
+    tiling grid would drop every source beyond the leading-axis extent."""
+    import pytest
+
+    from debvader_tpu.ops.detection import detect_sources, detect_sources_batched
+    from debvader_tpu.pipeline.tiles import detect_objects_tiled
+
+    img = np.zeros((96, 160), np.float32)
+    with pytest.raises(ValueError, match="square"):
+        detect_sources(img, DetectionConfig())
+    with pytest.raises(ValueError, match="square"):
+        detect_sources_batched(np.stack([img, img]), DetectionConfig())
+    with pytest.raises(ValueError, match="square"):
+        detect_objects_tiled(img, DetectionConfig(), tile=64, overlap=32)
