@@ -88,6 +88,16 @@ class DeblendField:
         """
         self.net = net
         self.field_image = np.array(field_image, dtype=np.float32)
+        if self.field_image.ndim != 4 or (
+            self.field_image.shape[1] != self.field_image.shape[2]
+        ):
+            raise ValueError(
+                f"field_image must be (1, F, F, B) with a square field "
+                f"(got {self.field_image.shape}); the center-offset and "
+                f"extraction conventions are single-axis (reference "
+                f"extract/extraction.py field_size) — a rectangular field "
+                f"would silently drop sources beyond the leading-axis extent"
+            )
         self.field_size = self.field_image.shape[1]
         self.cutout_size = cutout_size
         self.nb_of_bands = nb_of_bands

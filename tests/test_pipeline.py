@@ -556,3 +556,23 @@ def test_quantized_forward_zeros_nonfinite_before_normalize(tiny_net):
     np.testing.assert_array_equal(loc_b, loc_c)
     np.testing.assert_array_equal(scale_b, scale_c)
     assert np.isfinite(loc_b).all()
+
+
+def test_rectangular_field_image_rejected(tiny_net):
+    """DeblendField must reject a non-square (or non-4D) field_image loudly
+    — extraction's single-axis field_size would otherwise silently drop
+    every source beyond the leading-axis extent as a 'border' case."""
+    import pytest
+
+    from debvader_tpu.pipeline.field import DeblendField
+
+    with pytest.raises(ValueError, match="square"):
+        DeblendField(
+            tiny_net, np.zeros((1, 96, 160, 3), np.float32),
+            cutout_size=23, nb_of_bands=3,
+        )
+    with pytest.raises(ValueError, match="square"):
+        DeblendField(
+            tiny_net, np.zeros((96, 96, 3), np.float32),
+            cutout_size=23, nb_of_bands=3,
+        )
