@@ -124,7 +124,7 @@ def label_select_fixpoint(
     cur0: jax.Array,
     dir_code: jax.Array,
     rows: int = 128,
-    steps: int = 16,
+    steps: int = 4,
     interpret: bool = False,
 ):
     """Iterate K-step kernel chunks to the label fixpoint.
@@ -133,6 +133,15 @@ def label_select_fixpoint(
     (value, -index) order along every parent edge), so the longest path is
     finite and every chunk advances all unresolved pixels K ancestors.
     Returns (labels, n_chunks).
+
+    steps=4 default from a hardware sweep at the production 16x1024^2
+    shape (scripts/sweep_label_steps.py): ascent paths are short (source
+    radius scale), so small chunks waste less compute past the fixpoint —
+    K=4 resolves in 4 chunks at 56 ms vs K=16's 2 chunks at 109 ms; the
+    per-chunk convergence reduction is cheap next to the 8-way select
+    sweeps, and rows=256 blocks exceed the 16 MB scoped VMEM.  Long-path
+    workloads degrade gracefully (chunk count grows by ceil(L/4), each
+    chunk ~14 ms at this shape).
     """
     step = lambda c: label_select_step(
         c, dir_code, rows=rows, steps=steps, interpret=interpret

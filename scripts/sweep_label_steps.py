@@ -74,15 +74,19 @@ def main():
 
     results = {}
     for rows in (128, 256):
-        for steps in (4, 8, 12, 16, 24, 32):
-            lab, n = label_select_fixpoint(cur2, dir2, rows=rows, steps=steps)
-            same = bool(np.array_equal(np.asarray(lab), ref))
-            t = timeit(
-                lambda c, rows=rows, steps=steps: label_select_fixpoint(
-                    c, dir2, rows=rows, steps=steps
-                )[0],
-                cur2,
-            )
+        for steps in (2, 4, 6, 8, 12, 16, 24, 32):
+            try:
+                lab, n = label_select_fixpoint(cur2, dir2, rows=rows, steps=steps)
+                same = bool(np.array_equal(np.asarray(lab), ref))
+                t = timeit(
+                    lambda c, rows=rows, steps=steps: label_select_fixpoint(
+                        c, dir2, rows=rows, steps=steps
+                    )[0],
+                    cur2,
+                )
+            except Exception as e:  # e.g. scoped-VMEM OOM at big blocks
+                print(f"rows={rows:3d} K={steps:2d}: FAILED ({type(e).__name__})")
+                continue
             results[(rows, steps)] = t
             print(
                 f"rows={rows:3d} K={steps:2d}: {t * 1e3:6.1f} ms  "
