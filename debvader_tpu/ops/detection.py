@@ -687,7 +687,7 @@ def _postprocess_core(labels_np, filt_np, globalrms, cfg, timings=None):
     )
 
 
-def _postprocess_coo(idx, lab, val, f, globalrms, cfg, timings=None):
+def _postprocess_coo(idx, lab, val, f, globalrms, cfg, timings=None, want_map=True):
     """Host stage after the jitted core: multi-threshold merge, minarea,
     centroids, CLEAN — operating directly on the masked-pixel COO
     (ascending per-field flat indices ``idx``, per-pixel watershed labels,
@@ -703,6 +703,12 @@ def _postprocess_coo(idx, lab, val, f, globalrms, cfg, timings=None):
     ``timings``: optional dict accumulating per-stage wall seconds
     ('merge', 'segstats', 'clean', 'reconstruct' — the last is the single
     scatter rebuilding the dense label map for the result schema).
+
+    ``want_map=False`` skips that rebuild and returns ``labels: None`` —
+    catalog-only callers (the tiled survey driver reads just y/x) should
+    pass it: the scatter allocates and fills a dense (F, F) int32 per
+    tile, the one remaining O(F^2) host cost (1.9 s of the 3.2 s host
+    postprocess at 12k/35k-source scale).
     """
     from debvader_tpu.utils.profiling import stage_timer
 
@@ -749,10 +755,13 @@ def _postprocess_coo(idx, lab, val, f, globalrms, cfg, timings=None):
             kcid = kcid[keep_mask]
             ys, xs = ys[keep_mask], xs[keep_mask]
 
-    with stage_timer(t, "reconstruct"):
-        dense = np.full(f * f, -1, np.int32)
-        dense[idx] = lab
-        dense = dense.reshape(f, f)
+    if want_map:
+        with stage_timer(t, "reconstruct"):
+            dense = np.full(f * f, -1, np.int32)
+            dense[idx] = lab
+            dense = dense.reshape(f, f)
+    else:
+        dense = None
 
     return {
         "y": ys,
@@ -851,7 +860,8 @@ def _compact_masked(labels: jax.Array, filt: jax.Array, k: int):
 
 
 def detect_sources_batched(
-    tiles, cfg: DetectionConfig | None = None, mesh=None, timings=None
+    tiles, cfg: DetectionConfig | None = None, mesh=None, timings=None,
+    want_map=True,
 ) -> list[dict]:
     """Detection over a stack of same-size tiles (T, F, F): one batched —
     and, with ``mesh``, 'data'-axis-sharded — device pass for the cores,
@@ -863,6 +873,9 @@ def detect_sources_batched(
     (device detect incl. the count sync), 'download' (COO device->host),
     plus the _postprocess_coo stages ('merge', 'segstats', 'clean',
     'reconstruct' — the result-schema dense-label scatter).
+
+    ``want_map=False`` skips each tile's dense label-map rebuild
+    (``labels: None`` in the results) — see _postprocess_coo.
     """
     cfg = cfg or DetectionConfig()
     shape = np.shape(tiles)
@@ -927,6 +940,7 @@ def detect_sources_batched(
                 float(grms[i]),
                 cfg,
                 timings=t,
+                want_map=want_map,
             )
         )
     return out

@@ -21,6 +21,8 @@ Results are returned as the same pandas recarray the reference builds
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,6 +47,36 @@ def _check_reduced_dtype(name: str, value):
             f"{name} must be 'bfloat16' or 'float16', got {value!r}"
         )
     return None if value is None else str(value)
+
+
+@partial(jax.jit, static_argnames=("pad", "out_dtype", "want_model"))
+def _render_finish(field, canvas, *, pad, out_dtype, want_model):
+    """Crop the padded render canvas and subtract it from the field in ONE
+    fused program.  The obvious formulation — materialize the cropped
+    model, subtract, then cast — peaks at field + canvas + model +
+    residual (+ a dead model cast when the model isn't returned): ~18 GB
+    at 12k×12k×6 float32, which OOMs a 16 GB chip.  Fused, XLA reads the
+    canvas window directly in the subtract and writes residual (already at
+    the transfer dtype), so peak stays field + canvas + output."""
+    f = field.shape[1]
+    model = canvas[pad : pad + f, pad : pad + f, :]
+    residual = field[0] - model
+    if out_dtype is not None:
+        residual = residual.astype(out_dtype)
+        if want_model:
+            model = model.astype(out_dtype)
+    return (residual, model) if want_model else residual
+
+
+@partial(jax.jit, static_argnames=("pad",))
+def _model_subtract(residual, canvas, *, pad):
+    """Iterative-serving step update, fused for the same reason as
+    :func:`_render_finish`: new_residual = residual - crop(canvas), plus
+    the step's mean-square model power, without materializing the cropped
+    model as its own full-field buffer."""
+    f = residual.shape[1]
+    model = canvas[pad : pad + f, pad : pad + f, :]
+    return residual - model[None], jnp.mean(jnp.square(model))
 
 
 class DeblendField:
@@ -507,7 +539,7 @@ class DeblendField:
         with stage_timer(t, "upload"):
             field_dev = self._device_field(self.field_image)
         with stage_timer(t, "deblend_render"):
-            cols, model_dev, n_deblended = self._stream_deblend(
+            cols, canvas_dev, n_deblended = self._stream_deblend(
                 field_dev,
                 galaxy_distances_to_center,
                 optimise_positions=optimise_positions,
@@ -523,17 +555,24 @@ class DeblendField:
             return None, self.field_image.copy()
 
         with stage_timer(t, "field_download"):
-            residual_dev = field_dev[0] - model_dev
-            if transfer_dtype is not None:
-                td = jnp.dtype(transfer_dtype)
-                residual_dev = residual_dev.astype(td)
-                model_dev = model_dev.astype(td)
+            from debvader_tpu.ops.shift import render_pad
+
+            pad = render_pad(self.cutout_size, self.cfg.interp_order)
             if return_model:
+                residual_dev, model_dev = _render_finish(
+                    field_dev, canvas_dev, pad=pad,
+                    out_dtype=transfer_dtype, want_model=True,
+                )
                 residual, model = jax.device_get((residual_dev, model_dev))
                 if transfer_dtype is not None:
                     model = np.asarray(model, self.field_image.dtype)
             else:
-                residual = np.asarray(residual_dev)
+                residual = np.asarray(
+                    _render_finish(
+                        field_dev, canvas_dev, pad=pad,
+                        out_dtype=transfer_dtype, want_model=False,
+                    )
+                )
             if transfer_dtype is not None:
                 residual = np.asarray(residual, self.field_image.dtype)
         catalog = pd.DataFrame(cols).to_records(index=False)
@@ -555,11 +594,11 @@ class DeblendField:
         """Streaming core of deblend_and_render: chunks of sources run
         extract -> forward -> incremental canvas render against the
         device-resident ``field_dev`` (1, F, F, B).  Returns
-        (catalog column dict, cropped model field on device | None,
-        n_deblended); only per-source scalars cross the host link.
+        (catalog column dict, PADDED render canvas on device | None,
+        n_deblended); only per-source scalars cross the host link.  The
+        canvas is returned uncropped so callers can fuse the crop into
+        their subtract (see _render_finish).
         """
-        from debvader_tpu.ops.shift import render_pad
-
         field_size = field_dev.shape[1]
         centers = np.asarray(galaxy_distances_to_center, np.float32).reshape(-1, 2)
         band = 2 if self.nb_of_bands > 2 else 0
@@ -712,9 +751,10 @@ class DeblendField:
         if n_deblended == 0:
             return cols, None, 0
 
-        pad = render_pad(self.cutout_size, self.cfg.interp_order)
-        model_dev = canvas[pad : pad + field_size, pad : pad + field_size, :]
-        return cols, model_dev, n_deblended
+        # Return the PADDED canvas: callers fuse the crop into their
+        # subtract (_render_finish / _model_subtract) so the cropped model
+        # is never its own full-field device buffer.
+        return cols, canvas, n_deblended
 
     def _deblend_sharded(self, cutouts):
         """Batch-sharded forward over the mesh's 'data' axis (pads the

@@ -172,7 +172,7 @@ class IterativeDeblendField(DeblendField):
                 print("No more galaxies found")
                 break
 
-            cols, model_dev, n_new = self._stream_deblend(
+            cols, canvas_dev, n_new = self._stream_deblend(
                 residual_dev,
                 centers,
                 optimise_positions=optimise_positions,
@@ -184,8 +184,14 @@ class IterativeDeblendField(DeblendField):
                 print("No more galaxies found")
                 break
 
-            residual_dev = residual_dev - model_dev[None]
-            self.mse.append(float(jnp.mean(jnp.square(model_dev))))
+            from debvader_tpu.ops.shift import render_pad
+            from debvader_tpu.pipeline.field import _model_subtract
+
+            pad = render_pad(self.cutout_size, self.cfg.interp_order)
+            residual_dev, step_mse = _model_subtract(
+                residual_dev, canvas_dev, pad=pad
+            )
+            self.mse.append(float(step_mse))
 
             cols["list_idx"] = [i + total for i in cols["list_idx"]]
             cols["iteration"] = [k] * n_new

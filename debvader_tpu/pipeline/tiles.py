@@ -124,7 +124,11 @@ def detect_objects_tiled(
         # stack of one) — np.asarray here would force a device->host copy
         # of the running residual every iterative step.
         subs = _tile_stack(img, band, ((0, 0),), f)
-        obj = detect_sources_batched(subs, det_cfg, mesh=mesh, timings=timings)[0]
+        # catalog-only: skip each tile's dense label-map rebuild (the one
+        # O(F^2) host stage left in detection postprocess)
+        obj = detect_sources_batched(
+            subs, det_cfg, mesh=mesh, timings=timings, want_map=False
+        )[0]
         if len(obj["y"]) == 0:
             return np.zeros((0, 2))
         return np.stack(
@@ -153,7 +157,9 @@ def detect_objects_tiled(
     # field over the host link.
     origins = tuple((oy, ox) for oy in ys for ox in xs)
     subs = _tile_stack(img, band, origins, tile)
-    objs = detect_sources_batched(subs, det_cfg, mesh=mesh, timings=timings)
+    objs = detect_sources_batched(
+        subs, det_cfg, mesh=mesh, timings=timings, want_map=False
+    )
 
     from debvader_tpu.utils.profiling import stage_timer
 

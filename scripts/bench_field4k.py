@@ -4,9 +4,16 @@ flat background, matching round-1's benchmark construction), then times each
 stage twice and reports the second (steady-state) run — first calls include
 jit compiles, which dominate through this environment's TPU tunnel.
 
-Usage: python scripts/bench_field4k.py [field_size] [n_src]
+Usage: python scripts/bench_field4k.py [field_size] [n_src] [serving_only]
+
+``serving_only`` (any third arg): skip the reference-contract stages
+(deblend_field / residual_field) whose per-source stamp downloads scale
+O(N x 59^2 x 6 x 2) — at 12k+/30k+ sources that is >10 GB through this
+environment's tunnel.  The serving path (detect + deblend_and_render)
+downloads only catalog scalars + the final field.
 """
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -70,6 +77,8 @@ def main():
             print(f"{name} [{tag}]: {dt:.2f}s", flush=True)
         return out
 
+    serving_only = len(sys.argv) > 3
+
     centers = stage("detect_tiled", tdf.detect)
     print(f"  detections: {len(centers)}", flush=True)
     print(
@@ -77,13 +86,24 @@ def main():
         + " ".join(f"{k}={v:.3f}s" for k, v in tdf.detect_timings.items()),
         flush=True,
     )
-    res = stage("deblend_field", lambda: tdf.deblend_field(centers))
-    print(f"  deblended: {len(res.cutout_images)}", flush=True)
-    stage("residual_field", lambda: tdf.get_residual_field(res))
+    if not serving_only:
+        res = stage("deblend_field", lambda: tdf.deblend_field(centers))
+        print(f"  deblended: {len(res.cutout_images)}", flush=True)
+        stage("residual_field", lambda: tdf.get_residual_field(res))
     # fused serving path: stamps stay on device, only catalog + final field
-    # cross the host link
-    cat_res = stage("deblend_and_render", lambda: tdf.deblend_and_render(centers))
+    # cross the host link.  BENCH_TRANSFER_DTYPE=bfloat16 halves the final
+    # field download (the dominant byte cost at 8k+).
+    tdtype = os.environ.get("BENCH_TRANSFER_DTYPE") or None
+    cat_res = stage(
+        "deblend_and_render",
+        lambda: tdf.deblend_and_render(centers, transfer_dtype=tdtype),
+    )
     print(f"  catalog rows: {len(cat_res[0])}", flush=True)
+    print(
+        "  serving stages (steady): "
+        + " ".join(f"{k}={v:.3f}s" for k, v in tdf.serving_timings.items()),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

@@ -257,6 +257,26 @@ def test_batched_sparse_download_matches_dense():
         np.testing.assert_allclose(single["flux"], batched[i]["flux"])
 
 
+def test_batched_want_map_false_catalog_identical():
+    """want_map=False skips only the dense label rebuild: catalogs equal,
+    labels None (the tiled survey driver's catalog-only mode)."""
+    from debvader_tpu.ops.detection import detect_sources_batched
+
+    rng = np.random.default_rng(7)
+    tile = _field(256, noise=0.01, back=0.0, seed=11)
+    for _ in range(8):
+        cy, cx = rng.integers(12, 244, 2)
+        _add_gauss(tile, cy, cx, rng.uniform(0.5, 2.0))
+    tiles = np.stack([tile, tile[::-1].copy()])
+    cfg = DetectionConfig()
+    full = detect_sources_batched(tiles, cfg)
+    lean = detect_sources_batched(tiles, cfg, want_map=False)
+    for a, b in zip(full, lean):
+        assert b["labels"] is None
+        for k in ("y", "x", "area", "flux", "peak_yx"):
+            np.testing.assert_array_equal(a[k], b[k])
+
+
 def test_detection_degenerate_fields():
     """Constant, pure-noise, and NaN-contaminated fields must not crash and
     must behave sensibly (no sources on a constant field; NaN regions are
