@@ -153,7 +153,15 @@ class PipelineConfig:
     # Per-source pipeline batch: fields with more detections than this are
     # deblended in chunks so cutouts/forwards never exceed device memory
     # (a 4k coadd can hold 1e5+ detections; 1e5 x 59x59x6 fp32 is ~8 GB).
+    # The streaming serving path additionally caps the chunk from the HBM
+    # budget below once the field + render canvas claim their share.
     source_chunk: int = 8192
+    # Device HBM the streaming serving path may plan against (v5e: 16 GB).
+    # _stream_deblend holds the field and the padded render canvas
+    # (~2 x F^2 x B x 4 bytes) for the whole stream, so the per-chunk
+    # forward is sized to what's left; past ~10k^2 fields the default
+    # 8192-source chunk no longer fits alongside them.
+    serving_hbm_bytes: int = 16 << 30
     # HBM budget for deblend_field's device-resident render cache (mean +
     # stddev + epistemic stamp maps kept for a following residual/predicted
     # render).  Larger results skip the cache rather than pin gigabytes.

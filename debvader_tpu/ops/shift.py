@@ -113,7 +113,11 @@ def shift_full(img: jax.Array, shift: jax.Array) -> jax.Array:
     return subpixel_shift(img, shift)
 
 
-@partial(jax.jit, static_argnames=("field_size", "order", "chunk", "crop"))
+@partial(
+    jax.jit,
+    static_argnames=("field_size", "order", "chunk", "crop"),
+    donate_argnames=("canvas",),
+)
 def render_field(
     stamps: jax.Array,
     offsets: jax.Array,
@@ -148,6 +152,10 @@ def render_field(
     the next call's ``canvas``, and crop the final one with ``render_pad``
     (this is how deblend_and_render assembles a residual for more sources
     than fit on device at once, without a host round trip per chunk).
+    The passed ``canvas`` is DONATED (consumed): the accumulation happens
+    in the same device buffer, so chunked rendering holds one canvas, not
+    two — at 12k x 12k x 6 the functional copy was 3.7 GB per chunk and
+    tipped the 16 GB chip over.  Keep only the returned array.
 
     Returns (field_size, field_size, B), or the padded canvas if crop=False.
     """

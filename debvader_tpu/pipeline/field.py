@@ -68,6 +68,33 @@ def _render_finish(field, canvas, *, pad, out_dtype, want_model):
     return (residual, model) if want_model else residual
 
 
+def _serving_chunk_cap(field_size: int, bands: int, hbm_bytes: int) -> int:
+    """Largest forward-chunk bucket that fits beside the streaming loop's
+    resident buffers.  The stream holds the float32 field and the padded
+    render canvas (~2 x F^2 x B x 4 bytes) for its whole duration; the
+    per-chunk extract+forward+render workspace measures ~2 MB/source
+    (59x59x6 stamps through the 8.3M-param VAE in bf16, fp32 extract/mse).
+    Snapped DOWN to a _PADDED_BATCH_BUCKETS value — the bucketing pads a
+    chunk UP to the next bucket, so a non-bucket cap would be undone.
+    At 12k x 12k x 6 on a 16 GB chip this yields 2048 (8192 OOMs); fields
+    through 8k keep the full default."""
+    from debvader_tpu.api import _PADDED_BATCH_BUCKETS
+
+    resident = 2 * 4 * field_size * field_size * bands
+    reserve = 3 << 29  # params, detection leftovers, allocator slack
+    budget = hbm_bytes - resident - reserve
+    # Calibrated on v5e: chunk 8192 fits beside an 8k field (resident
+    # 3.2 GB) and OOMs beside a 12k field (resident 7.25 GB), bracketing
+    # the workspace at 1.0-1.35 MB/source.
+    per_source = (5 << 20) // 4
+    cap = max(budget // per_source, _PADDED_BATCH_BUCKETS[0])
+    best = _PADDED_BATCH_BUCKETS[0]
+    for b in _PADDED_BATCH_BUCKETS:
+        if b <= cap:
+            best = b
+    return best
+
+
 @partial(jax.jit, static_argnames=("pad",))
 def _model_subtract(residual, canvas, *, pad):
     """Iterative-serving step update, fused for the same reason as
@@ -623,7 +650,12 @@ class DeblendField:
         w = self.cfg.mse_window
         c0 = self.cutout_size // 2 - w
         c1 = self.cutout_size // 2 + w
-        chunk = self.cfg.source_chunk
+        chunk = min(
+            self.cfg.source_chunk,
+            _serving_chunk_cap(
+                field_size, self.nb_of_bands, self.cfg.serving_hbm_bytes
+            ),
+        )
         n_deblended = 0
 
         for s0 in range(0, len(centers), chunk):

@@ -576,3 +576,23 @@ def test_rectangular_field_image_rejected(tiny_net):
             tiny_net, np.zeros((96, 96, 3), np.float32),
             cutout_size=23, nb_of_bands=3,
         )
+
+
+def test_serving_chunk_cap_scales_with_field():
+    """The streaming serving chunk shrinks once the field + render canvas
+    claim their HBM share: full default through 8k (measured fitting on a
+    16 GB chip), capped at survey scales (8192 OOMed at 12k), always a
+    _PADDED_BATCH_BUCKETS value (bucketing pads UP, so a non-bucket cap
+    would be undone)."""
+    from debvader_tpu.api import _PADDED_BATCH_BUCKETS
+    from debvader_tpu.pipeline.field import _serving_chunk_cap
+
+    hbm = 16 << 30
+    for f in (259, 4096, 8192):
+        assert _serving_chunk_cap(f, 6, hbm) == 8192
+    for f in (12288, 16384):
+        cap = _serving_chunk_cap(f, 6, hbm)
+        assert cap < 8192
+        assert cap in _PADDED_BATCH_BUCKETS
+    # tiny chips degrade to the smallest bucket, never zero/negative
+    assert _serving_chunk_cap(8192, 6, 1 << 30) == _PADDED_BATCH_BUCKETS[0]
