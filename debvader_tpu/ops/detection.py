@@ -639,9 +639,16 @@ def _detect_core_stack(xs: jax.Array, cfg: DetectionConfig):
     return labels, filt, grms
 
 
-def detect_sources(image_2d, cfg: DetectionConfig | None = None):
+def detect_sources(
+    image_2d, cfg: DetectionConfig | None = None, timings=None, want_map=True
+):
     """Full detection on a 2D band.  Returns dict with 'y', 'x' (float
-    barycenters), 'area', 'flux', 'peak_yx', and the label map.
+    barycenters), 'area', 'flux', 'peak_yx', and the label map
+    (``labels: None`` with ``want_map=False`` — skips the dense rebuild).
+
+    ``timings``: optional dict accumulating the host-postprocess stage
+    wall seconds ('merge', 'segstats', 'clean', 'reconstruct'); the device
+    core is not split out here (see detect_sources_batched for that).
 
     Fields are square by contract — the whole pipeline's center-offset
     convention (and the reference's: detect/detection.py:48-56,
@@ -659,15 +666,19 @@ def detect_sources(image_2d, cfg: DetectionConfig | None = None):
     if _fused_enabled(cfg) and not cfg.use_pallas_filter:
         labels, filt, grms = _detect_core_stack(image[None], cfg)
         return _postprocess_core(
-            np.asarray(labels[0]), np.asarray(filt[0]), float(grms[0]), cfg
+            np.asarray(labels[0]), np.asarray(filt[0]), float(grms[0]), cfg,
+            timings=timings, want_map=want_map,
         )
     labels, is_peak, filt, fore, globalrms = _detect_core(image, cfg)
     return _postprocess_core(
-        np.asarray(labels), np.asarray(filt), float(globalrms), cfg
+        np.asarray(labels), np.asarray(filt), float(globalrms), cfg,
+        timings=timings, want_map=want_map,
     )
 
 
-def _postprocess_core(labels_np, filt_np, globalrms, cfg, timings=None):
+def _postprocess_core(
+    labels_np, filt_np, globalrms, cfg, timings=None, want_map=True
+):
     """Host stage after the jitted core, dense-map entry point: derives the
     masked-pixel COO with one flatnonzero and delegates to
     :func:`_postprocess_coo` (every reduction then scans masked pixels
@@ -684,6 +695,7 @@ def _postprocess_core(labels_np, filt_np, globalrms, cfg, timings=None):
         globalrms,
         cfg,
         timings=timings,
+        want_map=want_map,
     )
 
 
@@ -890,8 +902,12 @@ def detect_sources_batched(
     cfg = _normalize_batched_cfg(cfg)
     if n_padded * int(np.prod(shape[1:])) >= 2**31:
         # stacks past 2^31 pixels (after mesh padding) would overflow the
-        # int32 COO flat index
-        return [detect_sources(t, cfg) for t in np.asarray(tiles)]
+        # int32 COO flat index; the per-tile path honors want_map/timings
+        # so the fallback doesn't silently restore the dense label rebuild
+        return [
+            detect_sources(t, cfg, timings=timings, want_map=want_map)
+            for t in np.asarray(tiles)
+        ]
     from debvader_tpu.utils.profiling import stage_timer
 
     t = timings if timings is not None else {}

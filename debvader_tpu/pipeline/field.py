@@ -37,6 +37,20 @@ from debvader_tpu.ops.shift import render_field
 __all__ = ["DeblendField"]
 
 
+def _check_field_image(arr: np.ndarray) -> None:
+    """Reject non-(1, F, F, B) fields loudly — shared by __init__ and
+    deblend_field's per-call ``field_image`` override so neither entry can
+    silently drop sources beyond the leading-axis extent."""
+    if arr.ndim != 4 or arr.shape[1] != arr.shape[2]:
+        raise ValueError(
+            f"field_image must be (1, F, F, B) with a square field "
+            f"(got {arr.shape}); the center-offset and "
+            f"extraction conventions are single-axis (reference "
+            f"extract/extraction.py field_size) — a rectangular field "
+            f"would silently drop sources beyond the leading-axis extent"
+        )
+
+
 def _check_reduced_dtype(name: str, value):
     """Validate an opt-in reduced-precision transfer dtype: only the two
     float formats that keep float32 range at reduced mantissa make sense
@@ -49,7 +63,11 @@ def _check_reduced_dtype(name: str, value):
     return None if value is None else str(value)
 
 
-@partial(jax.jit, static_argnames=("pad", "out_dtype", "want_model"))
+@partial(
+    jax.jit,
+    static_argnames=("pad", "out_dtype", "want_model"),
+    donate_argnums=(1,),  # the canvas is dead after the crop+subtract
+)
 def _render_finish(field, canvas, *, pad, out_dtype, want_model):
     """Crop the padded render canvas and subtract it from the field in ONE
     fused program.  The obvious formulation — materialize the cropped
@@ -68,19 +86,24 @@ def _render_finish(field, canvas, *, pad, out_dtype, want_model):
     return (residual, model) if want_model else residual
 
 
-def _serving_chunk_cap(field_size: int, bands: int, hbm_bytes: int) -> int:
+def _serving_chunk_cap(
+    field_size: int, bands: int, hbm_bytes: int, resident_fields: int = 2
+) -> int:
     """Largest forward-chunk bucket that fits beside the streaming loop's
-    resident buffers.  The stream holds the float32 field and the padded
-    render canvas (~2 x F^2 x B x 4 bytes) for its whole duration; the
-    per-chunk extract+forward+render workspace measures ~2 MB/source
-    (59x59x6 stamps through the 8.3M-param VAE in bf16, fp32 extract/mse).
+    resident buffers.  The one-shot stream holds the float32 field and the
+    padded render canvas (resident_fields=2 full-field buffers x F^2 x B x
+    4 bytes) for its whole duration; the ITERATIVE driver additionally
+    keeps the memoized original field alive beside the running residual
+    (resident_fields=3 — see iterative_deblend_and_render).  The per-chunk
+    extract+forward+render workspace measures ~2 MB/source (59x59x6 stamps
+    through the 8.3M-param VAE in bf16, fp32 extract/mse).
     Snapped DOWN to a _PADDED_BATCH_BUCKETS value — the bucketing pads a
     chunk UP to the next bucket, so a non-bucket cap would be undone.
     At 12k x 12k x 6 on a 16 GB chip this yields 2048 (8192 OOMs); fields
     through 8k keep the full default."""
     from debvader_tpu.api import _PADDED_BATCH_BUCKETS
 
-    resident = 2 * 4 * field_size * field_size * bands
+    resident = resident_fields * 4 * field_size * field_size * bands
     reserve = 3 << 29  # params, detection leftovers, allocator slack
     budget = hbm_bytes - resident - reserve
     # Calibrated on v5e: chunk 8192 fits beside an 8k field (resident
@@ -95,8 +118,7 @@ def _serving_chunk_cap(field_size: int, bands: int, hbm_bytes: int) -> int:
     return best
 
 
-@partial(jax.jit, static_argnames=("pad",))
-def _model_subtract(residual, canvas, *, pad):
+def _model_subtract_impl(residual, canvas, *, pad):
     """Iterative-serving step update, fused for the same reason as
     :func:`_render_finish`: new_residual = residual - crop(canvas), plus
     the step's mean-square model power, without materializing the cropped
@@ -104,6 +126,20 @@ def _model_subtract(residual, canvas, *, pad):
     f = residual.shape[1]
     model = canvas[pad : pad + f, pad : pad + f, :]
     return residual - model[None], jnp.mean(jnp.square(model))
+
+
+# Two donation flavors: the canvas is always dead after the subtract, so
+# both free it on entry.  The residual is additionally donated when the
+# caller owns it exclusively (iterative steps k>0) — at 12k x 12k x 6
+# that removes a ~3.6 GB full-field buffer from the step's peak.  On the
+# FIRST iterative step the residual aliases the memoized _device_field
+# cache, which must survive, so only the canvas is donated there.
+_model_subtract = jax.jit(
+    _model_subtract_impl, static_argnames=("pad",), donate_argnums=(1,)
+)
+_model_subtract_donated = jax.jit(
+    _model_subtract_impl, static_argnames=("pad",), donate_argnums=(0, 1)
+)
 
 
 class DeblendField:
@@ -147,16 +183,7 @@ class DeblendField:
         """
         self.net = net
         self.field_image = np.array(field_image, dtype=np.float32)
-        if self.field_image.ndim != 4 or (
-            self.field_image.shape[1] != self.field_image.shape[2]
-        ):
-            raise ValueError(
-                f"field_image must be (1, F, F, B) with a square field "
-                f"(got {self.field_image.shape}); the center-offset and "
-                f"extraction conventions are single-axis (reference "
-                f"extract/extraction.py field_size) — a rectangular field "
-                f"would silently drop sources beyond the leading-axis extent"
-            )
+        _check_field_image(self.field_image)
         self.field_size = self.field_image.shape[1]
         self.cutout_size = cutout_size
         self.nb_of_bands = nb_of_bands
@@ -319,6 +346,7 @@ class DeblendField:
             field_image = self.field_image  # read-only below
         else:
             field_image = np.asarray(field_image, np.float32)
+            _check_field_image(field_image)
         field_size = field_image.shape[1]
 
         centers = np.asarray(galaxy_distances_to_center, np.float32).reshape(-1, 2)
@@ -617,6 +645,7 @@ class DeblendField:
         epistemic_criterion: float = 100.0,
         mse_criterion: float = 100.0,
         measure: bool = False,
+        resident_fields: int = 2,
     ):
         """Streaming core of deblend_and_render: chunks of sources run
         extract -> forward -> incremental canvas render against the
@@ -653,7 +682,10 @@ class DeblendField:
         chunk = min(
             self.cfg.source_chunk,
             _serving_chunk_cap(
-                field_size, self.nb_of_bands, self.cfg.serving_hbm_bytes
+                field_size,
+                self.nb_of_bands,
+                self.cfg.serving_hbm_bytes,
+                resident_fields=resident_fields,
             ),
         )
         n_deblended = 0

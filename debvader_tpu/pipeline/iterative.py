@@ -179,18 +179,29 @@ class IterativeDeblendField(DeblendField):
                 epistemic_criterion=epistemic_criterion,
                 mse_criterion=mse_criterion,
                 measure=measure,
+                # Beside the chunk workspace the device holds the memoized
+                # original field (the _device_field cache stays alive for
+                # the whole run), the running residual, and the padded
+                # canvas — 3 full-field buffers, not the one-shot path's 2.
+                resident_fields=3,
             )
             if n_new == 0:
                 print("No more galaxies found")
                 break
 
             from debvader_tpu.ops.shift import render_pad
-            from debvader_tpu.pipeline.field import _model_subtract
+            from debvader_tpu.pipeline.field import (
+                _model_subtract,
+                _model_subtract_donated,
+            )
 
             pad = render_pad(self.cutout_size, self.cfg.interp_order)
-            residual_dev, step_mse = _model_subtract(
-                residual_dev, canvas_dev, pad=pad
-            )
+            # k == 0: residual_dev aliases the memoized _device_field cache,
+            # which must survive for later runs — donate only the canvas.
+            # k > 0: this step owns the residual exclusively; donating it
+            # drops a full-field buffer from the subtract's peak.
+            sub = _model_subtract if k == 0 else _model_subtract_donated
+            residual_dev, step_mse = sub(residual_dev, canvas_dev, pad=pad)
             self.mse.append(float(step_mse))
 
             cols["list_idx"] = [i + total for i in cols["list_idx"]]

@@ -276,6 +276,18 @@ def test_batched_want_map_false_catalog_identical():
         for k in ("y", "x", "area", "flux", "peak_yx"):
             np.testing.assert_array_equal(a[k], b[k])
 
+    # the single-tile entry point honors the same flag (it also backs
+    # detect_sources_batched's int32-COO-overflow per-tile fallback, which
+    # must not silently restore the dense rebuild)
+    from debvader_tpu.ops.detection import detect_sources
+
+    t = {}
+    one = detect_sources(tile, cfg, timings=t, want_map=False)
+    assert one["labels"] is None
+    np.testing.assert_array_equal(one["y"], full[0]["y"])
+    np.testing.assert_array_equal(one["flux"], full[0]["flux"])
+    assert "merge" in t  # the postprocess stages landed in the dict
+
 
 def test_detection_degenerate_fields():
     """Constant, pure-noise, and NaN-contaminated fields must not crash and

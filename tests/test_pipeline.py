@@ -576,6 +576,13 @@ def test_rectangular_field_image_rejected(tiny_net):
             tiny_net, np.zeros((96, 96, 3), np.float32),
             cutout_size=23, nb_of_bands=3,
         )
+    # the per-call override must hit the same wall: a rectangular
+    # field_image passed to deblend_field would otherwise silently drop
+    # every source beyond field_image.shape[1]
+    field, centers = _tiny_field()
+    df = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    with pytest.raises(ValueError, match="square"):
+        df.deblend_field(centers, field_image=np.zeros((1, 96, 160, 3), np.float32))
 
 
 def test_serving_chunk_cap_scales_with_field():
@@ -596,3 +603,42 @@ def test_serving_chunk_cap_scales_with_field():
         assert cap in _PADDED_BATCH_BUCKETS
     # tiny chips degrade to the smallest bucket, never zero/negative
     assert _serving_chunk_cap(8192, 6, 1 << 30) == _PADDED_BATCH_BUCKETS[0]
+    # the iterative driver's budget counts THREE resident full-field
+    # buffers (memoized field + running residual + canvas), so its cap
+    # can only be <= the one-shot path's at the same field size
+    for f in (8192, 12288, 16384):
+        assert _serving_chunk_cap(f, 6, hbm, resident_fields=3) <= (
+            _serving_chunk_cap(f, 6, hbm)
+        )
+    assert (
+        _serving_chunk_cap(12288, 6, hbm, resident_fields=3)
+        in _PADDED_BATCH_BUCKETS
+    )
+
+
+def test_model_subtract_donated_matches_plain():
+    """The donated iterative-step subtract (k>0) must produce the same
+    residual/mse as the canvas-only-donated k==0 flavor — donation is a
+    memory optimization, not a semantics change."""
+    from debvader_tpu.ops.shift import render_pad
+    from debvader_tpu.pipeline.field import (
+        _model_subtract,
+        _model_subtract_donated,
+    )
+
+    rng = np.random.default_rng(3)
+    f, b = 31, 2
+    pad = render_pad(23, 1)
+    residual = rng.normal(size=(1, f, f, b)).astype(np.float32)
+    canvas = rng.normal(size=(f + 2 * pad, f + 2 * pad, b)).astype(np.float32)
+
+    r1, m1 = _model_subtract(
+        jnp.asarray(residual), jnp.asarray(canvas), pad=pad
+    )
+    r2, m2 = _model_subtract_donated(
+        jnp.asarray(residual), jnp.asarray(canvas), pad=pad
+    )
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    assert float(m1) == float(m2)
+    expected = residual[0] - canvas[pad : pad + f, pad : pad + f, :]
+    np.testing.assert_allclose(np.asarray(r1)[0], expected, rtol=1e-6)
