@@ -17,17 +17,16 @@ occupancy at the lane-starved decoder-tail shapes; whether that nets out
 positive is a hardware question, so the bench decides empirically).
 Per-variant numbers go to stderr; stdout stays one JSON line.
 
-Timing methodology: the device runtime in this environment can acknowledge
-``block_until_ready`` before work completes, so we (a) chain iterations
-through a data dependency (each forward consumes the previous output) so the
-device cannot parallelize or elide them, (b) force completion with a host
-fetch of a reduction, and (c) report the differential (N iters - 1 iter)/
-(N-1) to cancel dispatch/fetch constants.
+Timing methodology: debvader_tpu.utils.timing (differential
+data-dependency-chained measurement — this environment's runtime can
+acknowledge ``block_until_ready`` before work completes; see that module).
+Here each forward consumes the previous output, so the chain is a real
+dependency.
 """
 
+import itertools
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +39,7 @@ BATCH = 4096
 def _measure(subpixel: bool) -> float:
     from debvader_tpu.config import ModelConfig
     from debvader_tpu.models.vae import DeblenderVAE, init_vae
+    from debvader_tpu.utils.timing import median_seconds_per_iter
 
     model = DeblenderVAE(
         ModelConfig(dtype="bfloat16", decoder_subpixel=subpixel)
@@ -55,23 +55,13 @@ def _measure(subpixel: bool) -> float:
         np.random.default_rng(0).normal(size=(BATCH, 59, 59, 6)), jnp.float32
     )
     rng = jax.random.PRNGKey(1)
+    draws = itertools.count()
 
-    def chain(n_iters: int) -> float:
-        t0 = time.perf_counter()
-        y = x
-        for i in range(n_iters):
-            y = fwd(variables, y, jax.random.fold_in(rng, i))
-        float(jnp.sum(y))  # host fetch forces real completion
-        return time.perf_counter() - t0
+    def step(prev):
+        y = x if prev is None else prev  # output feeds the next forward
+        return fwd(variables, y, jax.random.fold_in(rng, next(draws)))
 
-    chain(1)  # compile + warm
-    chain(5)
-
-    per_iter = []
-    for _ in range(3):
-        d1, d11 = chain(1), chain(11)
-        per_iter.append((d11 - d1) / 10)
-    dt = float(np.median(per_iter))
+    dt = median_seconds_per_iter(step, iters=10, warmup_iters=5, reps=3)
     return BATCH / dt
 
 

@@ -14,7 +14,6 @@ Usage: python scripts/bench_detect.py [n_tiles] [tile_f]
 
 import dataclasses
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -61,26 +60,13 @@ def core_fn(cfg):
 
 
 def time_core(fn, xs, iters=5):
-    """Differential chained timing: each iteration perturbs the input from
-    the previous labels so runs cannot be elided, ends with a host fetch."""
+    """Differential chained timing (debvader_tpu.utils.timing): each
+    iteration perturbs the input from the previous labels so runs cannot
+    be elided.  Slicing [0] outside the jitted fn keeps all core outputs
+    computed while handing the helper one array to chain on."""
+    from debvader_tpu.utils.timing import feed_seconds_per_iter
 
-    def chain(n):
-        t0 = time.perf_counter()
-        x = xs
-        tot = None
-        for _ in range(n):
-            labels, filt, grms = fn(x)
-            # data dependency: feed a labels-derived epsilon back in
-            x = xs + 1e-12 * labels[..., :1, :1].astype(jnp.float32)
-            tot = labels
-        int(jnp.sum(tot))  # host fetch
-        return time.perf_counter() - t0
-
-    chain(1)  # compile
-    chain(2)
-    d1 = chain(1)
-    dn = chain(iters + 1)
-    return (dn - d1) / iters
+    return feed_seconds_per_iter(lambda x: fn(x)[0], xs, iters=iters)
 
 
 def main():

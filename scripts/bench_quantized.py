@@ -8,7 +8,6 @@ bench.py (this environment's runtime acks block_until_ready early).
 """
 
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -17,9 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from debvader_tpu.config import ModelConfig
 from debvader_tpu.models import quantized as q
-from debvader_tpu.models.vae import DeblenderVAE, init_vae
 from debvader_tpu.utils.compile_cache import enable_compilation_cache
 
 enable_compilation_cache()
@@ -28,20 +25,17 @@ BATCH = 4096
 
 
 def chain_time(fwd, x, rng, iters=12):
-    def chain(n):
-        t0 = time.perf_counter()
-        xx = x
-        for i in range(n):
-            loc, scale = fwd(xx, jax.random.fold_in(rng, i))
-            xx = x + loc * jnp.zeros((), x.dtype)
-        float(jnp.sum(loc[0]))
-        return time.perf_counter() - t0
+    import itertools
 
-    chain(1)
-    chain(2)
-    d1 = chain(1)
-    dn = chain(iters + 1)
-    return (dn - d1) / iters
+    from debvader_tpu.utils.timing import chained_seconds_per_iter
+
+    draws = itertools.count()
+
+    def step(prev):
+        xx = x if prev is None else x + prev[0] * jnp.zeros((), x.dtype)
+        return fwd(xx, jax.random.fold_in(rng, next(draws)))
+
+    return chained_seconds_per_iter(step, iters=iters)
 
 
 def main():

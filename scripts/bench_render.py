@@ -17,8 +17,7 @@ Usage: python scripts/bench_render.py [field_size] [n_src]
 from __future__ import annotations
 
 import sys
-import time
-from functools import partial
+
 from pathlib import Path
 
 import numpy as np
@@ -91,24 +90,14 @@ def make_grouped_renderer(field_size, group, s, b, chunk=4096):
 
 
 def time_render(fn, stamps, offsets, iters=3):
-    """Differential chained timing: each iteration perturbs the stamps from
-    the previous canvas so runs cannot be elided, ends with a host fetch."""
+    """Differential chained timing (debvader_tpu.utils.timing): each
+    iteration perturbs the stamps from the previous canvas so runs cannot
+    be elided."""
+    from debvader_tpu.utils.timing import feed_seconds_per_iter
 
-    def chain(n):
-        t0 = time.perf_counter()
-        st = stamps
-        out = None
-        for _ in range(n):
-            out = fn(st, offsets)
-            st = stamps + 1e-12 * out[:1, :1, :].astype(stamps.dtype)
-        float(jnp.sum(out))  # host fetch
-        return time.perf_counter() - t0
-
-    chain(1)  # compile
-    chain(2)
-    d1 = chain(1)
-    dn = chain(iters + 1)
-    return (dn - d1) / iters
+    return feed_seconds_per_iter(
+        lambda st: fn(st, offsets), stamps, iters=iters
+    )
 
 
 def main():

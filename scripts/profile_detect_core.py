@@ -6,7 +6,6 @@ whole core for cross-checking.  Usage: python scripts/profile_detect_core.py
 """
 
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -23,25 +22,9 @@ from debvader_tpu.ops import detection as det
 from debvader_tpu.kernels.detect_fused import matched_filter_parents
 from debvader_tpu.kernels.label_select import label_select_fixpoint
 from debvader_tpu.utils.compile_cache import enable_compilation_cache
+from debvader_tpu.utils.timing import feed_seconds_per_iter as timeit
 
 enable_compilation_cache()
-
-
-def timeit(fn, feed, iters=5):
-    def chain(n):
-        t0 = time.perf_counter()
-        x = feed
-        for _ in range(n):
-            out = fn(x)
-            x = feed + 1e-12 * out[..., :1, :1].astype(jnp.float32)
-        float(jnp.sum(out))
-        return time.perf_counter() - t0
-
-    chain(1)
-    chain(2)
-    d1 = chain(1)
-    dn = chain(iters + 1)
-    return (dn - d1) / iters
 
 
 def main():

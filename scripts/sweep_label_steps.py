@@ -10,7 +10,6 @@ python scripts/sweep_label_steps.py [n_tiles] [tile_f]
 """
 
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -28,24 +27,12 @@ from debvader_tpu.kernels.detect_fused import matched_filter_parents
 from debvader_tpu.kernels.label_select import label_select_fixpoint
 from debvader_tpu.utils.compile_cache import enable_compilation_cache
 
+# feed is int32 parent indices: the shared helper's dtype-preserving
+# perturbation matters here (a float promotion would time a float32
+# variant of the kernel AND round indices >= 2^24)
+from debvader_tpu.utils.timing import feed_seconds_per_iter as timeit
+
 enable_compilation_cache()
-
-
-def timeit(fn, feed, iters=5):
-    def chain(n):
-        t0 = time.perf_counter()
-        x = feed
-        for _ in range(n):
-            out = fn(x)
-            x = feed + 1e-12 * out[..., :1, :1].astype(jnp.float32)
-        float(jnp.sum(out))
-        return time.perf_counter() - t0
-
-    chain(1)
-    chain(2)
-    d1 = chain(1)
-    dn = chain(iters + 1)
-    return (dn - d1) / iters
 
 
 def main():
