@@ -220,7 +220,13 @@ def render_field(
     total = stamps.shape[0]
     for c0 in range(0, total, chunk):
         sl = slice(c0, c0 + chunk)
-        shifted = jax.vmap(shift_one)(stamps[sl], frac[sl])
+        # Interpolation always runs in float32 (the spline prefilter's
+        # recursive scans carry float32 state); the shifted patches cast
+        # to the canvas dtype at the scatter, so reduced-precision
+        # canvases (DeblendField device_dtype) compose with any order.
+        shifted = jax.vmap(shift_one)(
+            stamps[sl].astype(jnp.float32), frac[sl]
+        ).astype(canvas.dtype)
         canvas, _ = jax.lax.scan(
             scatter_body, canvas, (shifted, int_off[sl], mask[sl])
         )

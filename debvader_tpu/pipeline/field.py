@@ -87,7 +87,11 @@ def _render_finish(field, canvas, *, pad, out_dtype, want_model):
 
 
 def _serving_chunk_cap(
-    field_size: int, bands: int, hbm_bytes: int, resident_fields: int = 2
+    field_size: int,
+    bands: int,
+    hbm_bytes: int,
+    resident_fields: int = 2,
+    bytes_per_el: int = 4,
 ) -> int:
     """Largest forward-chunk bucket that fits beside the streaming loop's
     resident buffers.  The one-shot stream holds the float32 field and the
@@ -100,10 +104,11 @@ def _serving_chunk_cap(
     Snapped DOWN to a _PADDED_BATCH_BUCKETS value — the bucketing pads a
     chunk UP to the next bucket, so a non-bucket cap would be undone.
     At 12k x 12k x 6 on a 16 GB chip this yields 2048 (8192 OOMs); fields
-    through 8k keep the full default."""
+    through 8k keep the full default.  ``bytes_per_el``: 2 under
+    device_dtype='bfloat16'/'float16' residency, 4 for float32."""
     from debvader_tpu.api import _PADDED_BATCH_BUCKETS
 
-    resident = resident_fields * 4 * field_size * field_size * bands
+    resident = resident_fields * bytes_per_el * field_size * field_size * bands
     reserve = 3 << 29  # params, detection leftovers, allocator slack
     budget = hbm_bytes - resident - reserve
     # Calibrated on v5e: chunk 8192 fits beside an 8k field (resident
@@ -118,6 +123,19 @@ def _serving_chunk_cap(
     return best
 
 
+@partial(
+    jax.jit,
+    static_argnames=("pad", "out_dtype"),
+    donate_argnums=(0,),  # crop is the canvas's last read
+)
+def _crop_canvas(canvas, *, pad, out_dtype):
+    """Crop a padded render canvas to the field window (optionally casting
+    to the transfer dtype on device), donating the canvas."""
+    f = canvas.shape[0] - 2 * pad
+    out = canvas[pad : pad + f, pad : pad + f, :]
+    return out if out_dtype is None else out.astype(out_dtype)
+
+
 def _model_subtract_impl(residual, canvas, *, pad):
     """Iterative-serving step update, fused for the same reason as
     :func:`_render_finish`: new_residual = residual - crop(canvas), plus
@@ -125,7 +143,10 @@ def _model_subtract_impl(residual, canvas, *, pad):
     model as its own full-field buffer."""
     f = residual.shape[1]
     model = canvas[pad : pad + f, pad : pad + f, :]
-    return residual - model[None], jnp.mean(jnp.square(model))
+    # the mse reduction accumulates in float32 even under reduced-dtype
+    # residency (the cast fuses into the reduction, no f32 materialization)
+    power = jnp.mean(jnp.square(model.astype(jnp.float32)))
+    return residual - model[None], power
 
 
 # Two donation flavors: the canvas is always dead after the subtract, so
@@ -156,6 +177,7 @@ class DeblendField:
         mesh=None,
         quantized=None,
         upload_dtype=None,
+        device_dtype=None,
     ):
         """net: (model, variables); field_image: (1, F, F, B) array.
 
@@ -180,6 +202,19 @@ class DeblendField:
         significant digits before any device work, so detection thresholds
         and photometry shift at the 1e-3 relative level; keep the default
         (full float32) when the 1e-4 fidelity clause matters.
+        ``device_dtype``: optional reduced precision ('bfloat16'
+        recommended; 'float16' accepted) for the RESIDENT full-field
+        device buffers — the memoized field copy, the serving render
+        canvases, and the iterative running residual.  This is the
+        HBM-capacity knob: at 16k x 16k x 6 the float32 field + render
+        canvas alone are ~13 GB of a 16 GB chip (serving OOMs); at
+        bfloat16 they are ~6.5 GB and 16k serves on one chip.  Per-chunk
+        compute (forward, mse, registration, epistemic) still runs at
+        full precision on float32-cast cutouts; only field pixels and
+        canvas accumulation carry the reduced mantissa (~3 significant
+        digits for bfloat16), so results shift at the 1e-3 relative
+        level like ``upload_dtype``.  Implies the reduced upload
+        (``upload_dtype`` must be unset or equal).
         """
         self.net = net
         self.field_image = np.array(field_image, dtype=np.float32)
@@ -217,6 +252,17 @@ class DeblendField:
 
             self._quant_fwd = make_quantized_forward(quantized)
         self.upload_dtype = _check_reduced_dtype("upload_dtype", upload_dtype)
+        self.device_dtype = _check_reduced_dtype("device_dtype", device_dtype)
+        if (
+            self.device_dtype is not None
+            and self.upload_dtype is not None
+            and self.upload_dtype != self.device_dtype
+        ):
+            raise ValueError(
+                f"device_dtype={self.device_dtype!r} already implies the "
+                f"reduced upload; upload_dtype={self.upload_dtype!r} "
+                f"conflicts — set only device_dtype"
+            )
         self.nb_of_detected_objects: list[int] = []
         self.nb_of_deblended_galaxies: list[int] = []
         self.res_deblend = None
@@ -264,24 +310,37 @@ class DeblendField:
             field_np.shape,
             str(field_np.dtype),
             self.upload_dtype,
+            self.device_dtype,
         ) + self._field_checksum(field_np)
         if getattr(self, "_dev_field_key", None) != key:
             self._dev_field_key = key
-            if self.upload_dtype is not None:
+            reduced = self.device_dtype or self.upload_dtype
+            if reduced is not None:
                 import ml_dtypes
 
                 hd = (
                     ml_dtypes.bfloat16
-                    if self.upload_dtype == "bfloat16"
+                    if reduced == "bfloat16"
                     else np.float16
                 )
-                # cast on host (half the transfer bytes), widen on device
-                self._dev_field = jnp.asarray(field_np.astype(hd)).astype(
-                    jnp.float32
-                )
+                # cast on host (half the transfer bytes); device_dtype
+                # keeps the reduced residency, upload_dtype widens back
+                dev = jnp.asarray(field_np.astype(hd))
+                if self.device_dtype is None:
+                    dev = dev.astype(jnp.float32)
+                self._dev_field = dev
             else:
                 self._dev_field = jnp.asarray(field_np, jnp.float32)
         return self._dev_field
+
+    @property
+    def _canvas_dtype(self):
+        """dtype for the resident render canvases (the HBM-capacity knob)."""
+        return (
+            jnp.float32
+            if self.device_dtype is None
+            else jnp.dtype(self.device_dtype)
+        )
 
     def _next_rng(self) -> jax.Array:
         self._rng, out = jax.random.split(self._rng)
@@ -414,7 +473,10 @@ class DeblendField:
                     "field to be considered here."
                 )
             list_idx = np.flatnonzero(valid)
-            cutouts = jnp.asarray(all_cutouts)[jnp.asarray(list_idx)]
+            # float32 regardless of the resident field's device_dtype
+            cutouts = jnp.asarray(all_cutouts)[jnp.asarray(list_idx)].astype(
+                jnp.float32
+            )
             cut_np = extract_cutouts_np(field_image, centers, self.cutout_size)[
                 0
             ][list_idx].astype(np.float32)
@@ -594,7 +656,7 @@ class DeblendField:
         with stage_timer(t, "upload"):
             field_dev = self._device_field(self.field_image)
         with stage_timer(t, "deblend_render"):
-            cols, canvas_dev, n_deblended = self._stream_deblend(
+            cols, canvases, n_deblended = self._stream_deblend(
                 field_dev,
                 galaxy_distances_to_center,
                 optimise_positions=optimise_positions,
@@ -602,6 +664,7 @@ class DeblendField:
                 mse_criterion=mse_criterion,
                 measure=measure,
             )
+            canvas_dev = None if canvases is None else canvases["mean"]
 
         if n_deblended == 0:
             print("No galaxy deblended. End of the iterative procedure.")
@@ -619,7 +682,7 @@ class DeblendField:
                     out_dtype=transfer_dtype, want_model=True,
                 )
                 residual, model = jax.device_get((residual_dev, model_dev))
-                if transfer_dtype is not None:
+                if transfer_dtype is not None or self.device_dtype is not None:
                     model = np.asarray(model, self.field_image.dtype)
             else:
                 residual = np.asarray(
@@ -628,7 +691,7 @@ class DeblendField:
                         out_dtype=transfer_dtype, want_model=False,
                     )
                 )
-            if transfer_dtype is not None:
+            if transfer_dtype is not None or self.device_dtype is not None:
                 residual = np.asarray(residual, self.field_image.dtype)
         catalog = pd.DataFrame(cols).to_records(index=False)
         residual_field = self.field_image.copy()
@@ -636,6 +699,109 @@ class DeblendField:
         if return_model:
             return catalog, residual_field, model
         return catalog, residual_field
+
+    def deblend_and_predict(
+        self,
+        galaxy_distances_to_center,
+        optimise_positions: bool = False,
+        epistemic_criterion: float = 100.0,
+        mse_criterion: float = 100.0,
+        measure: bool = False,
+        timings=None,
+        transfer_dtype=None,
+    ):
+        """Survey-scale predicted-field serving: the streaming analogue of
+        ``get_predicted_field`` + ``get_residual_field``
+        (reference field_deblender.py:99-189, 46-97).
+
+        The contract path downloads every source's mean AND stddev stamp
+        to assemble the predicted canvases on host — O(N x 59^2 x B x 2)
+        over the link.  Here the mean, per-pixel aleatoric-stddev and
+        (when the pipeline runs with epistemic estimation) epistemic
+        canvases accumulate on device inside the same streamed
+        extract->forward->render loop as ``deblend_and_render``; only the
+        final fields and per-source catalog scalars cross the host link.
+
+        Returns ``(catalog, fields)`` where fields is a dict with
+        'residual_field' (shaped like field_image), 'predicted_mean_field',
+        'predicted_stddev_field' and 'predicted_epistemic_field'
+        ((F, F, B); epistemic None unless the pipeline was built with
+        ``epistemic_uncertainty_estimation=True``).  ``catalog`` is None
+        and the predictions zero if nothing survives extraction.
+        ``timings`` / ``transfer_dtype`` as in ``deblend_and_render``.
+
+        The epistemic canvas uses the same Welford estimator as the
+        contract path but its own Monte-Carlo draws (the stream pads
+        sources to the forward bucket, which changes the replica chunk
+        structure), so it matches ``get_predicted_field`` statistically,
+        not bitwise.
+        """
+        from debvader_tpu.ops.shift import render_pad
+        from debvader_tpu.utils.profiling import stage_timer
+
+        transfer_dtype = _check_reduced_dtype("transfer_dtype", transfer_dtype)
+        want_epi = self.epistemic_uncertainty_estimation
+        t = timings if timings is not None else {}
+        self.serving_timings = t
+        with stage_timer(t, "upload"):
+            field_dev = self._device_field(self.field_image)
+        with stage_timer(t, "deblend_render"):
+            cols, canvases, n_deblended = self._stream_deblend(
+                field_dev,
+                galaxy_distances_to_center,
+                optimise_positions=optimise_positions,
+                epistemic_criterion=epistemic_criterion,
+                mse_criterion=mse_criterion,
+                measure=measure,
+                render_std=True,
+                render_epistemic=want_epi,
+                # field + mean canvas + std canvas (+ epistemic canvas)
+                resident_fields=3 + int(want_epi),
+            )
+
+        f = self.field_size
+        if n_deblended == 0:
+            print("No galaxy deblended. End of the iterative procedure.")
+            zero = np.zeros((f, f, self.nb_of_bands), np.float32)
+            return None, {
+                "residual_field": self.field_image.copy(),
+                "predicted_mean_field": zero,
+                "predicted_stddev_field": zero.copy(),
+                "predicted_epistemic_field": zero.copy() if want_epi else None,
+            }
+
+        with stage_timer(t, "field_download"):
+            pad = render_pad(self.cutout_size, self.cfg.interp_order)
+            residual_dev, model_dev = _render_finish(
+                field_dev, canvases["mean"], pad=pad,
+                out_dtype=transfer_dtype, want_model=True,
+            )
+            out = {
+                "residual": residual_dev,
+                "mean": model_dev,
+                "std": _crop_canvas(
+                    canvases["std"], pad=pad, out_dtype=transfer_dtype
+                ),
+            }
+            if want_epi:
+                out["epi"] = _crop_canvas(
+                    canvases["epi"], pad=pad, out_dtype=transfer_dtype
+                )
+            got = jax.device_get(out)
+            if transfer_dtype is not None or self.device_dtype is not None:
+                got = {
+                    k: np.asarray(v, self.field_image.dtype)
+                    for k, v in got.items()
+                }
+        catalog = pd.DataFrame(cols).to_records(index=False)
+        residual_field = self.field_image.copy()
+        residual_field[0] = got["residual"]
+        return catalog, {
+            "residual_field": residual_field,
+            "predicted_mean_field": got["mean"],
+            "predicted_stddev_field": got["std"],
+            "predicted_epistemic_field": got.get("epi") if want_epi else None,
+        }
 
     def _stream_deblend(
         self,
@@ -646,20 +812,38 @@ class DeblendField:
         mse_criterion: float = 100.0,
         measure: bool = False,
         resident_fields: int = 2,
+        render_std: bool = False,
+        render_epistemic: bool = False,
     ):
         """Streaming core of deblend_and_render: chunks of sources run
         extract -> forward -> incremental canvas render against the
         device-resident ``field_dev`` (1, F, F, B).  Returns
-        (catalog column dict, PADDED render canvas on device | None,
-        n_deblended); only per-source scalars cross the host link.  The
-        canvas is returned uncropped so callers can fuse the crop into
-        their subtract (see _render_finish).
+        (catalog column dict, dict of PADDED render canvases on device,
+        n_deblended) — canvases is None when nothing deblended, else
+        {'mean': ..., 'std': ... | None, 'epi': ... | None}.  Only
+        per-source scalars cross the host link.  Canvases are returned
+        uncropped so callers can fuse the crop into their subtract
+        (see _render_finish).
+
+        ``render_std`` / ``render_epistemic`` additionally accumulate the
+        per-pixel aleatoric-stddev and epistemic canvases (the reference's
+        get_predicted_field accumulation, field_deblender.py:99-189) —
+        each extra canvas is one more resident full-field buffer, which
+        the caller must count in ``resident_fields``.
         """
+        if render_epistemic and not self.epistemic_uncertainty_estimation:
+            raise ValueError(
+                "render_epistemic=True requires the pipeline to run with "
+                "epistemic_uncertainty_estimation=True (the epistemic maps "
+                "are only computed then)"
+            )
         field_size = field_dev.shape[1]
         centers = np.asarray(galaxy_distances_to_center, np.float32).reshape(-1, 2)
         band = 2 if self.nb_of_bands > 2 else 0
 
         canvas = None
+        canvas_std = None
+        canvas_epi = None
         cols: dict[str, list] = {
             k: []
             for k in (
@@ -686,6 +870,7 @@ class DeblendField:
                 self.nb_of_bands,
                 self.cfg.serving_hbm_bytes,
                 resident_fields=resident_fields,
+                bytes_per_el=2 if self.device_dtype is not None else 4,
             ),
         )
         n_deblended = 0
@@ -700,6 +885,9 @@ class DeblendField:
                 continue
             list_idx = np.flatnonzero(valid)
             raw_cutouts = jnp.asarray(all_cutouts)[jnp.asarray(list_idx)]
+            # per-chunk compute runs at full precision regardless of the
+            # resident field's device_dtype (the cast is ~MBs per chunk)
+            raw_cutouts = raw_cutouts.astype(jnp.float32)
             # zero-fill non-finite pixels (chip gaps) for the forward and
             # the rendered model — a NaN mean stamp would scatter NaN over
             # every canvas pixel under its footprint.  The mse cut below
@@ -738,6 +926,7 @@ class DeblendField:
                 axis=(1, 2, 3),
             )
 
+            epi = None
             if self.epistemic_uncertainty_estimation:
                 _, epi = deblend_sample_stats(
                     self.net,
@@ -756,7 +945,7 @@ class DeblendField:
 
             if optimise_positions:
                 shifts_dev = position_optimization_batch(
-                    field_dev[0, :, :, band],
+                    field_dev[0, :, :, band].astype(jnp.float32),
                     means_dev[..., band],
                     jnp.asarray(dets),
                     bound=self.cfg.position_bounds,
@@ -766,8 +955,9 @@ class DeblendField:
                 shifts_dev = jnp.zeros((m, 2), jnp.float32)
 
             offs_dev = jnp.asarray(dets) + shifts_dev
+            cdt = self._canvas_dtype  # reduced canvas under device_dtype
             canvas = render_field(
-                means_dev,
+                means_dev.astype(cdt),
                 offs_dev,
                 field_size,
                 mask=row_mask,
@@ -775,6 +965,28 @@ class DeblendField:
                 canvas=canvas,
                 crop=False,
             )
+            if render_std:
+                # additive stddev accumulation, exactly the reference's
+                # predicted-field convention (field_deblender.py:164-171)
+                canvas_std = render_field(
+                    dist.stddev().astype(cdt),
+                    offs_dev,
+                    field_size,
+                    mask=row_mask,
+                    order=self.cfg.interp_order,
+                    canvas=canvas_std,
+                    crop=False,
+                )
+            if render_epistemic:
+                canvas_epi = render_field(
+                    epi.astype(cdt),
+                    offs_dev,
+                    field_size,
+                    mask=row_mask,
+                    order=self.cfg.interp_order,
+                    canvas=canvas_epi,
+                    crop=False,
+                )
 
             # Per-source scalars only — a few KB per chunk over the link.
             fetch = {
@@ -815,10 +1027,14 @@ class DeblendField:
         if n_deblended == 0:
             return cols, None, 0
 
-        # Return the PADDED canvas: callers fuse the crop into their
+        # Return the PADDED canvases: callers fuse the crop into their
         # subtract (_render_finish / _model_subtract) so the cropped model
         # is never its own full-field device buffer.
-        return cols, canvas, n_deblended
+        return (
+            cols,
+            {"mean": canvas, "std": canvas_std, "epi": canvas_epi},
+            n_deblended,
+        )
 
     def _deblend_sharded(self, cutouts):
         """Batch-sharded forward over the mesh's 'data' axis (pads the

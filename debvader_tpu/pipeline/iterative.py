@@ -172,7 +172,7 @@ class IterativeDeblendField(DeblendField):
                 print("No more galaxies found")
                 break
 
-            cols, canvas_dev, n_new = self._stream_deblend(
+            cols, canvases, n_new = self._stream_deblend(
                 residual_dev,
                 centers,
                 optimise_positions=optimise_positions,
@@ -201,7 +201,9 @@ class IterativeDeblendField(DeblendField):
             # k > 0: this step owns the residual exclusively; donating it
             # drops a full-field buffer from the subtract's peak.
             sub = _model_subtract if k == 0 else _model_subtract_donated
-            residual_dev, step_mse = sub(residual_dev, canvas_dev, pad=pad)
+            residual_dev, step_mse = sub(
+                residual_dev, canvases["mean"], pad=pad
+            )
             self.mse.append(float(step_mse))
 
             cols["list_idx"] = [i + total for i in cols["list_idx"]]

@@ -9,6 +9,9 @@ drivers on the bundled DC2 field (swap in a 4kx4k coadd unchanged):
 
 - DeblendField.deblend_and_render: one pass, catalog + residual, stamps
   never downloaded;
+- DeblendField.deblend_and_predict: same stream, plus the reference's
+  predicted-field trio (mean/stddev/epistemic canvases) accumulated on
+  device;
 - TiledDeblendField.detect_deblend_render: tiled COO detection feeding the
   same streaming core (the 4k-coadd path);
 - IterativeDeblendField.iterative_deblend_and_render: detect-subtract-
@@ -55,6 +58,17 @@ def main():
             f"deblend_and_render: {len(catalog)} rows, columns "
             f"{catalog.dtype.names}, residual rms "
             f"{np.sqrt(np.mean(residual**2)):.4f}"
+        )
+
+    # --- predicted-field serving: mean/stddev/epistemic canvases ----------
+    dfp = dt.DeblendField(net, field, epistemic_uncertainty_estimation=True)
+    cat_p, fields = dfp.deblend_and_predict(centers)
+    if cat_p is not None:
+        print(
+            "deblend_and_predict: model flux "
+            f"{fields['predicted_mean_field'].sum():.1f}, stddev sum "
+            f"{fields['predicted_stddev_field'].sum():.1f}, epistemic sum "
+            f"{fields['predicted_epistemic_field'].sum():.3f}"
         )
 
     # --- tiled driver (the 4k-coadd path; tiles trivially cover 259) ------

@@ -60,11 +60,16 @@ def main():
     det_cfg = DetectionConfig(threshold_scaling="matched", thresh=25.0)
     model = DeblenderVAE(ModelConfig(dtype="bfloat16"))
     variables = init_vae(model, jax.random.PRNGKey(0))
+    # BENCH_DEVICE_DTYPE=bfloat16 switches the resident full-field device
+    # buffers (memoized field, render canvas) to half precision — required
+    # for 16k x 16k x 6 on a 16 GB chip (float32 residency is ~13 GB).
+    ddtype = os.environ.get("BENCH_DEVICE_DTYPE") or None
     tdf = TiledDeblendField(
         (model, variables),
         field,
         cfg=PipelineConfig(),
         det_cfg=det_cfg,
+        device_dtype=ddtype,
     )
 
     def stage(name, fn, repeats=2):

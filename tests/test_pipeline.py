@@ -357,6 +357,168 @@ def test_deblend_and_render_measure_and_epistemic(tiny_net):
     assert np.isfinite(residual).all()
 
 
+def test_deblend_and_predict_matches_contract_path(tiny_net):
+    """The streaming predicted-field driver must reproduce the contract
+    path's canvases (deblend_field + get_predicted_field +
+    get_residual_field) without any stamp download; epistemic canvas only
+    when the pipeline estimates epistemic uncertainty."""
+    field, centers = _tiny_field()
+    for epistemic in (False, True):
+        a = DeblendField(
+            tiny_net, field, cutout_size=23, nb_of_bands=3,
+            epistemic_uncertainty_estimation=epistemic, cfg=_pipe_cfg(),
+        )
+        res = a.deblend_field(centers)
+        pred_ref = a.get_predicted_field(res)
+        residual_ref = a.get_residual_field(res)
+
+        b = DeblendField(
+            tiny_net, field, cutout_size=23, nb_of_bands=3,
+            epistemic_uncertainty_estimation=epistemic, cfg=_pipe_cfg(),
+        )
+        t = {}
+        catalog, fields = b.deblend_and_predict(centers, timings=t)
+        assert len(catalog) == len(res)
+        np.testing.assert_allclose(
+            fields["residual_field"], residual_ref, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            fields["predicted_mean_field"],
+            pred_ref["predicted_mean_field"],
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            fields["predicted_stddev_field"],
+            pred_ref["predicted_stddev_field"],
+            atol=1e-6,
+        )
+        if epistemic:
+            # the two drivers draw their Monte-Carlo replicas with
+            # different chunk structure (the stream pads sources to the
+            # forward bucket), so the std maps are independent estimates
+            # of the same quantity: same support, sums statistically equal
+            epi_s = fields["predicted_epistemic_field"]
+            epi_r = pred_ref["predicted_epistemic_field"]
+            # std-of-8 estimates vary ~50% per pixel, but sums over the
+            # thousands of supported pixels concentrate
+            assert 0.7 < epi_s.sum() / epi_r.sum() < 1.3
+            assert epi_s.min() > -1e-6  # nonneg up to interp float noise
+            # epistemic mass only under rendered footprints
+            off_support = fields["predicted_mean_field"] == 0
+            assert np.all(np.abs(epi_s[off_support]) < 1e-6)
+        else:
+            assert fields["predicted_epistemic_field"] is None
+        assert set(t) == {"upload", "deblend_render", "field_download"}
+
+    # no-sources early exit: zero canvases, catalog None
+    c = DeblendField(
+        tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg()
+    )
+    far = np.asarray([[500.0, 500.0]], np.float32)
+    cat_none, fields0 = c.deblend_and_predict(far)
+    assert cat_none is None
+    assert (fields0["predicted_mean_field"] == 0).all()
+    np.testing.assert_array_equal(fields0["residual_field"], c.field_image)
+
+
+def test_deblend_and_predict_transfer_dtype(tiny_net):
+    """Reduced-precision download applies to all predicted canvases and
+    restores the field dtype on host."""
+    field, centers = _tiny_field()
+    df = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    _, ref = df.deblend_and_predict(centers)
+    df2 = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    _, red = df2.deblend_and_predict(centers, transfer_dtype="bfloat16")
+    for k in ("residual_field", "predicted_mean_field", "predicted_stddev_field"):
+        assert red[k].dtype == ref[k].dtype
+        scale = max(1.0, float(np.abs(ref[k]).max()))
+        assert np.max(np.abs(red[k] - ref[k])) / scale < 2e-2
+
+
+def test_device_dtype_reduced_residency(tiny_net):
+    """device_dtype='bfloat16' keeps the memoized field + render canvases
+    at half precision on device (the HBM-capacity knob that lets 16k
+    coadds serve on one 16 GB chip); results match full precision at the
+    ~3-significant-digit level and per-chunk compute stays float32."""
+    import jax.numpy as jnp
+
+    field, centers = _tiny_field()
+    ref_df = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    _, residual_ref = ref_df.deblend_and_render(centers)
+    res_ref = DeblendField(
+        tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg()
+    ).deblend_field(centers)
+
+    df = DeblendField(
+        tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg(),
+        device_dtype="bfloat16",
+    )
+    assert df._device_field(df.field_image).dtype == jnp.bfloat16
+    cat, residual = df.deblend_and_render(centers)
+    assert residual.dtype == np.float32
+    scale = float(np.abs(residual_ref).max())
+    assert np.max(np.abs(residual - residual_ref)) / scale < 2e-2
+    assert len(cat) == len(res_ref)
+
+    # contract path on the reduced-resident field
+    df2 = DeblendField(
+        tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg(),
+        device_dtype="bfloat16",
+    )
+    res2 = df2.deblend_field(centers)
+    assert len(res2) == len(res_ref)
+    m_ref = np.stack(list(res_ref.output_images_mean))
+    m2 = np.stack(list(res2.output_images_mean))
+    ms = max(1.0, float(np.abs(m_ref).max()))
+    assert np.max(np.abs(m2 - m_ref)) / ms < 2e-2
+
+    # predicted canvases at reduced residency
+    df3 = DeblendField(
+        tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg(),
+        device_dtype="bfloat16",
+    )
+    _, fields = df3.deblend_and_predict(centers)
+    for k in ("residual_field", "predicted_mean_field", "predicted_stddev_field"):
+        assert fields[k].dtype == np.float32
+        assert np.isfinite(fields[k]).all()
+
+    # iterative serving holds the running residual at bf16
+    from debvader_tpu.config import DetectionConfig
+
+    idf = IterativeDeblendField(
+        tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg(),
+        device_dtype="bfloat16",
+    )
+    det_cfg = DetectionConfig(thresh=25.0, threshold_scaling="matched")
+    _, resid_it = idf.iterative_deblend_and_render(det_cfg=det_cfg, max_iterations=2)
+    assert resid_it.dtype == np.float32 and np.isfinite(resid_it).all()
+
+    # conflicting explicit upload_dtype is rejected; matching is accepted
+    with pytest.raises(ValueError, match="conflicts"):
+        DeblendField(
+            tiny_net, field, cutout_size=23, nb_of_bands=3,
+            device_dtype="bfloat16", upload_dtype="float16",
+        )
+    DeblendField(
+        tiny_net, field, cutout_size=23, nb_of_bands=3,
+        device_dtype="bfloat16", upload_dtype="bfloat16",
+    )
+
+    # halved residency at least doubles the HBM chunk budget; at 20k the
+    # float32 residency (20 GB) exceeds the chip outright while bfloat16
+    # (10 GB) still leaves room for full chunks
+    from debvader_tpu.pipeline.field import _serving_chunk_cap
+
+    hbm = 16 << 30
+    for f in (12288, 16384, 20480):
+        assert _serving_chunk_cap(f, 6, hbm, bytes_per_el=2) >= (
+            _serving_chunk_cap(f, 6, hbm, bytes_per_el=4)
+        )
+    assert _serving_chunk_cap(20480, 6, hbm, bytes_per_el=2) > (
+        _serving_chunk_cap(20480, 6, hbm, bytes_per_el=4)
+    )
+
+
 def test_iterative_deblend_and_render_streaming(tiny_net):
     """The device-resident iterative driver detects on the running device
     residual, accumulates a catalog with an iteration column, and
