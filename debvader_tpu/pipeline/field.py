@@ -123,17 +123,22 @@ def _serving_chunk_cap(
     return best
 
 
-@partial(
-    jax.jit,
-    static_argnames=("pad", "out_dtype"),
-    donate_argnums=(0,),  # crop is the canvas's last read
-)
-def _crop_canvas(canvas, *, pad, out_dtype):
+def _crop_canvas_impl(canvas, *, pad, out_dtype):
     """Crop a padded render canvas to the field window (optionally casting
-    to the transfer dtype on device), donating the canvas."""
+    to the transfer dtype on device)."""
     f = canvas.shape[0] - 2 * pad
     out = canvas[pad : pad + f, pad : pad + f, :]
     return out if out_dtype is None else out.astype(out_dtype)
+
+
+# donating flavor for a canvas's last read; keep-flavor when the canvas is
+# still needed (e.g. the mean canvas, read again for the residual subtract)
+_crop_canvas = jax.jit(
+    _crop_canvas_impl, static_argnames=("pad", "out_dtype"), donate_argnums=(0,)
+)
+_crop_canvas_keep = jax.jit(
+    _crop_canvas_impl, static_argnames=("pad", "out_dtype")
+)
 
 
 def _model_subtract_impl(residual, canvas, *, pad):
@@ -202,10 +207,11 @@ class DeblendField:
         significant digits before any device work, so detection thresholds
         and photometry shift at the 1e-3 relative level; keep the default
         (full float32) when the 1e-4 fidelity clause matters.
-        ``device_dtype``: optional reduced precision ('bfloat16'
-        recommended; 'float16' accepted) for the RESIDENT full-field
-        device buffers — the memoized field copy, the serving render
-        canvases, and the iterative running residual.  This is the
+        ``device_dtype``: optional reduced precision ('bfloat16' — float16
+        is rejected because the canvases accumulate sums and float16
+        clips at ±65504) for the RESIDENT full-field device buffers —
+        the memoized field copy, the serving render canvases, and the
+        iterative running residual.  This is the
         HBM-capacity knob: at 16k x 16k x 6 the float32 field + render
         canvas alone are ~13 GB of a 16 GB chip (serving OOMs); at
         bfloat16 they are ~6.5 GB and 16k serves on one chip.  Per-chunk
@@ -253,6 +259,13 @@ class DeblendField:
             self._quant_fwd = make_quantized_forward(quantized)
         self.upload_dtype = _check_reduced_dtype("upload_dtype", upload_dtype)
         self.device_dtype = _check_reduced_dtype("device_dtype", device_dtype)
+        if self.device_dtype == "float16":
+            raise ValueError(
+                "device_dtype='float16' is rejected: the resident canvases "
+                "accumulate scatter-add SUMS and float16 clips at ±65504, "
+                "so bright/crowded fields would silently overflow to inf — "
+                "use 'bfloat16' (float32 range at ~3 significant digits)"
+            )
         if (
             self.device_dtype is not None
             and self.upload_dtype is not None
@@ -341,6 +354,19 @@ class DeblendField:
             if self.device_dtype is None
             else jnp.dtype(self.device_dtype)
         )
+
+    def _restore_dtype(self, arr) -> np.ndarray:
+        """Host-side: cast a downloaded field buffer back to the field's
+        dtype whenever any reduced dtype (transfer_dtype cast on device,
+        or device_dtype residency) left it narrower."""
+        out = np.asarray(arr)
+        if out.dtype != self.field_image.dtype:
+            out = out.astype(self.field_image.dtype)
+        return out
+
+    def _fetch_field(self, arr_dev) -> np.ndarray:
+        """device_get one derived full-field buffer and restore dtype."""
+        return self._restore_dtype(jax.device_get(arr_dev))
 
     def _next_rng(self) -> jax.Array:
         self._rng, out = jax.random.split(self._rng)
@@ -682,17 +708,15 @@ class DeblendField:
                     out_dtype=transfer_dtype, want_model=True,
                 )
                 residual, model = jax.device_get((residual_dev, model_dev))
-                if transfer_dtype is not None or self.device_dtype is not None:
-                    model = np.asarray(model, self.field_image.dtype)
+                residual = self._restore_dtype(residual)
+                model = self._restore_dtype(model)
             else:
-                residual = np.asarray(
+                residual = self._fetch_field(
                     _render_finish(
                         field_dev, canvas_dev, pad=pad,
                         out_dtype=transfer_dtype, want_model=False,
                     )
                 )
-            if transfer_dtype is not None or self.device_dtype is not None:
-                residual = np.asarray(residual, self.field_image.dtype)
         catalog = pd.DataFrame(cols).to_records(index=False)
         residual_field = self.field_image.copy()
         residual_field[0] = residual
@@ -772,27 +796,34 @@ class DeblendField:
 
         with stage_timer(t, "field_download"):
             pad = render_pad(self.cutout_size, self.cfg.interp_order)
-            residual_dev, model_dev = _render_finish(
-                field_dev, canvases["mean"], pad=pad,
-                out_dtype=transfer_dtype, want_model=True,
+            got = {}
+            # Fetch one derived full-field buffer at a time so peak HBM
+            # stays field + mean canvas + ONE derived buffer (the stream
+            # phase's own budget): the std/epi crops donate their canvas,
+            # and the mean canvas is cropped with the keep-flavor because
+            # the residual subtract reads it once more.  Deriving all four
+            # outputs in one program would put ~5 full-field buffers on
+            # the chip at the survey scales this driver exists for.
+            got["std"] = self._fetch_field(
+                _crop_canvas(canvases["std"], pad=pad, out_dtype=transfer_dtype)
             )
-            out = {
-                "residual": residual_dev,
-                "mean": model_dev,
-                "std": _crop_canvas(
-                    canvases["std"], pad=pad, out_dtype=transfer_dtype
-                ),
-            }
             if want_epi:
-                out["epi"] = _crop_canvas(
-                    canvases["epi"], pad=pad, out_dtype=transfer_dtype
+                got["epi"] = self._fetch_field(
+                    _crop_canvas(
+                        canvases["epi"], pad=pad, out_dtype=transfer_dtype
+                    )
                 )
-            got = jax.device_get(out)
-            if transfer_dtype is not None or self.device_dtype is not None:
-                got = {
-                    k: np.asarray(v, self.field_image.dtype)
-                    for k, v in got.items()
-                }
+            got["mean"] = self._fetch_field(
+                _crop_canvas_keep(
+                    canvases["mean"], pad=pad, out_dtype=transfer_dtype
+                )
+            )
+            got["residual"] = self._fetch_field(
+                _render_finish(
+                    field_dev, canvases["mean"], pad=pad,
+                    out_dtype=transfer_dtype, want_model=False,
+                )
+            )
         catalog = pd.DataFrame(cols).to_records(index=False)
         residual_field = self.field_image.copy()
         residual_field[0] = got["residual"]
@@ -844,6 +875,15 @@ class DeblendField:
         canvas = None
         canvas_std = None
         canvas_epi = None
+        # Registration reads the full detection band at float32: cast once
+        # outside the chunk loop (under device_dtype the cast allocates an
+        # F^2 x 4-byte buffer — per chunk it would be a fresh ~1 GB
+        # allocation at 16k on every iteration).
+        reg_band = (
+            field_dev[0, :, :, band].astype(jnp.float32)
+            if optimise_positions
+            else None
+        )
         cols: dict[str, list] = {
             k: []
             for k in (
@@ -945,7 +985,7 @@ class DeblendField:
 
             if optimise_positions:
                 shifts_dev = position_optimization_batch(
-                    field_dev[0, :, :, band].astype(jnp.float32),
+                    reg_band,
                     means_dev[..., band],
                     jnp.asarray(dets),
                     bound=self.cfg.position_bounds,

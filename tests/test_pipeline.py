@@ -493,6 +493,13 @@ def test_device_dtype_reduced_residency(tiny_net):
     _, resid_it = idf.iterative_deblend_and_render(det_cfg=det_cfg, max_iterations=2)
     assert resid_it.dtype == np.float32 and np.isfinite(resid_it).all()
 
+    # float16 residency is rejected outright: the canvases accumulate
+    # scatter-add sums and float16 clips at 65504
+    with pytest.raises(ValueError, match="float16"):
+        DeblendField(
+            tiny_net, field, cutout_size=23, nb_of_bands=3,
+            device_dtype="float16",
+        )
     # conflicting explicit upload_dtype is rejected; matching is accepted
     with pytest.raises(ValueError, match="conflicts"):
         DeblendField(
