@@ -92,6 +92,7 @@ def _serving_chunk_cap(
     hbm_bytes: int,
     resident_fields: int = 2,
     bytes_per_el: int = 4,
+    extra_bytes: int = 0,
 ) -> int:
     """Largest forward-chunk bucket that fits beside the streaming loop's
     resident buffers.  The one-shot stream holds the float32 field and the
@@ -110,7 +111,10 @@ def _serving_chunk_cap(
 
     resident = resident_fields * bytes_per_el * field_size * field_size * bands
     reserve = 3 << 29  # params, detection leftovers, allocator slack
-    budget = hbm_bytes - resident - reserve
+    # extra_bytes: loop-lifetime buffers that are NOT full multi-band
+    # fields (e.g. the hoisted float32 registration band, F^2 x 4 B —
+    # ~1 GB at 16k, which would otherwise silently eat the reserve)
+    budget = hbm_bytes - resident - extra_bytes - reserve
     # Calibrated on v5e: chunk 8192 fits beside an 8k field (resident
     # 3.2 GB) and OOMs beside a 12k field (resident 7.25 GB), bracketing
     # the workspace at 1.0-1.35 MB/source.
@@ -911,6 +915,11 @@ class DeblendField:
                 self.cfg.serving_hbm_bytes,
                 resident_fields=resident_fields,
                 bytes_per_el=2 if self.device_dtype is not None else 4,
+                # the hoisted float32 registration band lives across the
+                # whole chunk loop when positions are optimized
+                extra_bytes=(
+                    4 * field_size * field_size if optimise_positions else 0
+                ),
             ),
         )
         n_deblended = 0
@@ -958,6 +967,10 @@ class DeblendField:
 
             dist = self._batched_forward(cutouts)
             means_dev = dist.mean()
+            # one stddev dispatch per chunk, shared by the std-canvas
+            # render and measurement (each would otherwise recompute the
+            # full (m, 59, 59, B) map)
+            std_dev = dist.stddev() if (render_std or measure) else None
 
             mse_center = jnp.mean(
                 jnp.square(
@@ -1009,7 +1022,7 @@ class DeblendField:
                 # additive stddev accumulation, exactly the reference's
                 # predicted-field convention (field_deblender.py:164-171)
                 canvas_std = render_field(
-                    dist.stddev().astype(cdt),
+                    std_dev.astype(cdt),
                     offs_dev,
                     field_size,
                     mask=row_mask,
@@ -1037,7 +1050,7 @@ class DeblendField:
             if measure:
                 from debvader_tpu.ops.measure import measure_batch
 
-                fetch.update(measure_batch(means_dev, dist.stddev()))
+                fetch.update(measure_batch(means_dev, std_dev))
             got = jax.device_get(fetch)
             got = {k: v[:n] for k, v in got.items()}  # drop bucket padding
 

@@ -40,16 +40,11 @@ def _default_fetch(out) -> None:
     float(jnp.sum(leaf))
 
 
-def chained_seconds_per_iter(step, *, iters=5, warmup_iters=2, fetch=None):
-    """Seconds per iteration of ``step``, differentially measured.
-
-    ``step(prev)``: run one iteration and return its output; ``prev`` is
-    ``None`` on the first call of each chain, else the previous output —
-    the step MUST derive its device input from ``prev`` (dtype-preserving;
-    see module docstring) so the chain is a real data dependency.
-    ``fetch(out)``: host-sync the final output; default fetches
-    ``float(jnp.sum(first_leaf))``.
-    """
+def _differential_samples(step, *, iters, warmup_iters, reps, fetch):
+    """Shared compile/warm/chain core: one compile chain, one warm chain,
+    then ``reps`` differential measurements of ``step``.  Both public
+    variants go through here so the methodology (and its bugs) stays in
+    one place."""
     fetch = fetch or _default_fetch
 
     def chain(n: int) -> float:
@@ -62,9 +57,27 @@ def chained_seconds_per_iter(step, *, iters=5, warmup_iters=2, fetch=None):
 
     chain(1)  # compile
     chain(warmup_iters)  # warm
-    d1 = chain(1)
-    dn = chain(iters + 1)
-    return (dn - d1) / iters
+    samples = []
+    for _ in range(reps):
+        d1 = chain(1)
+        dn = chain(iters + 1)
+        samples.append((dn - d1) / iters)
+    return samples
+
+
+def chained_seconds_per_iter(step, *, iters=5, warmup_iters=2, fetch=None):
+    """Seconds per iteration of ``step``, differentially measured.
+
+    ``step(prev)``: run one iteration and return its output; ``prev`` is
+    ``None`` on the first call of each chain, else the previous output —
+    the step MUST derive its device input from ``prev`` (dtype-preserving;
+    see module docstring) so the chain is a real data dependency.
+    ``fetch(out)``: host-sync the final output; default fetches
+    ``float(jnp.sum(first_leaf))``.
+    """
+    return _differential_samples(
+        step, iters=iters, warmup_iters=warmup_iters, reps=1, fetch=fetch
+    )[0]
 
 
 def feed_seconds_per_iter(fn, feed, *, iters=5, warmup_iters=2, fetch=None):
@@ -82,6 +95,16 @@ def feed_seconds_per_iter(fn, feed, *, iters=5, warmup_iters=2, fetch=None):
         eps = jnp.ravel(jax.tree_util.tree_leaves(prev)[0])[:1]
         if integer:
             x = feed | (eps.astype(feed.dtype) & 0)
+        elif jnp.finfo(feed.dtype).bits < 32:
+            # 1e-12 flushes to exactly 0 in float16 (min subnormal ~6e-8),
+            # which would sever the chain (0*eps constant-folds away) or
+            # NaN-poison it (0*inf).  Perturb in float32 and round back:
+            # 1e-12*eps is far below half an fp16/bf16 ulp, so the value
+            # is preserved while the data dependency is real.
+            x = (
+                feed.astype(jnp.float32)
+                + jnp.float32(1e-12) * eps.astype(jnp.float32)
+            ).astype(feed.dtype)
         else:
             x = feed + jnp.asarray(1e-12, feed.dtype) * eps.astype(feed.dtype)
         return fn(x)
@@ -97,21 +120,10 @@ def median_seconds_per_iter(step, *, iters=5, warmup_iters=2, reps=3, fetch=None
     damp this environment's tunnel-window drift between chains."""
     import numpy as np
 
-    fetch = fetch or _default_fetch
-
-    def chain(n: int) -> float:
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(n):
-            out = step(out)
-        fetch(out)
-        return time.perf_counter() - t0
-
-    chain(1)
-    chain(warmup_iters)
-    per_iter = []
-    for _ in range(reps):
-        d1 = chain(1)
-        dn = chain(iters + 1)
-        per_iter.append((dn - d1) / iters)
-    return float(np.median(per_iter))
+    return float(
+        np.median(
+            _differential_samples(
+                step, iters=iters, warmup_iters=warmup_iters, reps=reps, fetch=fetch
+            )
+        )
+    )

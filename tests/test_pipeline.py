@@ -783,6 +783,17 @@ def test_serving_chunk_cap_scales_with_field():
         _serving_chunk_cap(12288, 6, hbm, resident_fields=3)
         in _PADDED_BATCH_BUCKETS
     )
+    # extra loop-lifetime buffers (the hoisted float32 registration band
+    # under optimise_positions) tighten the budget monotonically and can
+    # drop a bucket at survey scale
+    for f in (12288, 16384):
+        reg = 4 * f * f
+        assert _serving_chunk_cap(f, 6, hbm, extra_bytes=reg) <= (
+            _serving_chunk_cap(f, 6, hbm)
+        )
+        assert _serving_chunk_cap(f, 6, hbm, extra_bytes=reg) in (
+            _PADDED_BATCH_BUCKETS
+        )
 
 
 def test_model_subtract_donated_matches_plain():

@@ -54,6 +54,29 @@ def test_feed_timing_float_perturbation_is_tiny():
         np.testing.assert_allclose(vals, 1.0, atol=1e-9)
 
 
+def test_feed_timing_half_precision_chain_survives():
+    # 1e-12 flushes to exactly 0 in float16; the old direct-dtype
+    # perturbation severed the chain (0*eps folds away).  The float32
+    # round-trip path must keep the dependency real AND the values intact.
+    seen = []
+
+    @jax.jit
+    def fn(x):
+        return x * jnp.float16(2.0)
+
+    feed = jnp.ones((8,), jnp.float16)
+
+    def spy(x):
+        seen.append((x.dtype, np.asarray(x, np.float32)))
+        return fn(x)
+
+    dt = feed_seconds_per_iter(spy, feed, iters=2, warmup_iters=1)
+    assert dt == dt
+    for dtype, vals in seen:
+        assert dtype == jnp.float16
+        np.testing.assert_allclose(vals, 1.0, atol=1e-3)
+
+
 def test_chained_and_median_run_step_counts():
     calls = []
 
