@@ -61,7 +61,11 @@ def _measure(subpixel: bool) -> float:
         y = x if prev is None else prev  # output feeds the next forward
         return fwd(variables, y, jax.random.fold_in(rng, next(draws)))
 
-    dt = median_seconds_per_iter(step, iters=10, warmup_iters=5, reps=3)
+    # reps=7: per-rep differentials scatter ~±8% with this environment's
+    # tunnel-window drift (measured 117k-137k around a 125k median in one
+    # run); the median of 7 spans more wall time and rejects both-sided
+    # outliers at ~4 s extra cost
+    dt = median_seconds_per_iter(step, iters=10, warmup_iters=5, reps=7)
     return BATCH / dt
 
 
