@@ -20,6 +20,7 @@ from debvader_tpu.ops.normalize import (
 from debvader_tpu.ops.registration import (
     position_optimization,
     position_optimization_batch,
+    position_optimization_batch_windowed,
 )
 from debvader_tpu.ops.shift import render_field, shift_full, subpixel_shift
 from debvader_tpu.ops.spline import spline_prefilter, subpixel_shift_spline
@@ -41,6 +42,7 @@ __all__ = [
     "normalize_non_linear",
     "position_optimization",
     "position_optimization_batch",
+    "position_optimization_batch_windowed",
     "render_field",
     "shift_full",
     "subpixel_shift",

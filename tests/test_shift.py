@@ -193,3 +193,117 @@ def test_position_optimization_ignores_nan_field_pixels():
     )
     assert np.isfinite(shifts).all()
     np.testing.assert_allclose(shifts[0], true_shift, atol=0.05)
+
+
+def test_position_optimization_windowed_matches_full_field(rng_np):
+    """The windowed solver's normal equations receive exactly-zero terms
+    from every pixel outside the window (the shift Jacobian's support is
+    the stamp footprint), so its shifts equal the full-field solver's up
+    to float summation order — including sources flush at the field
+    border, where the window clamps to the field edge and clips the
+    support at the same pixels the full-field canvas does."""
+    from debvader_tpu.ops.registration import (
+        position_optimization_batch_windowed,
+    )
+
+    f, s = 101, 15
+    stamp = _gauss(s, 7.0, 7.0, sigma=2.0)
+    # assorted positions: interior, fractional, and flush at the low border
+    dets = np.array(
+        [[-30.0, -28.0], [10.0, 17.0], [0.0, 0.0], [-43.0, -40.0]],
+        np.float32,
+    )
+    resid = np.array(
+        [[0.6, -0.4], [-1.2, 0.9], [0.3, 0.2], [0.8, -0.7]], np.float32
+    )
+    field = (0.01 * rng_np.normal(size=(f, f))).astype(np.float32)
+    pos0 = (f - s) // 2
+    for d, r in zip(dets, resid):
+        padded = np.zeros((f, f), np.float32)
+        padded[pos0 : pos0 + s, pos0 : pos0 + s] = stamp
+        field += scipy.ndimage.shift(padded, d + r, order=1)
+
+    preds = np.stack([stamp] * len(dets))
+    full = np.asarray(
+        position_optimization_batch(
+            jnp.asarray(field), jnp.asarray(preds), jnp.asarray(dets)
+        )
+    )
+    windowed = np.asarray(
+        position_optimization_batch_windowed(
+            jnp.asarray(field), jnp.asarray(preds), jnp.asarray(dets)
+        )
+    )
+    np.testing.assert_allclose(windowed, full, atol=1e-3)
+    np.testing.assert_allclose(windowed, resid, atol=0.1)
+
+
+def test_position_optimization_windowed_rectangular_band(rng_np):
+    """Row-band registration (the sharded serving path): a (H, W) band with
+    offsets relative to the band center recovers a planted shift."""
+    from debvader_tpu.ops.registration import (
+        position_optimization_batch_windowed,
+    )
+
+    h, w, s = 40, 101, 15
+    stamp = _gauss(s, 7.0, 7.0, sigma=2.0)
+    det = np.array([[-5.0, 20.0]], np.float32)
+    resid = np.array([[0.9, -0.6]], np.float32)
+    band = (0.005 * rng_np.normal(size=(h, w))).astype(np.float32)
+    padded = np.zeros((h, w), np.float32)
+    padded[(h - s) // 2 : (h - s) // 2 + s, (w - s) // 2 : (w - s) // 2 + s] = stamp
+    band += scipy.ndimage.shift(padded, det[0] + resid[0], order=1)
+
+    got = np.asarray(
+        position_optimization_batch_windowed(
+            jnp.asarray(band), jnp.asarray(stamp)[None], jnp.asarray(det)
+        )
+    )
+    np.testing.assert_allclose(got, resid, atol=0.1)
+
+
+def test_position_optimization_windowed_small_field_fallback():
+    """Fields smaller than the window route to the full-field solve."""
+    from debvader_tpu.ops.registration import (
+        position_optimization_batch_windowed,
+        registration_window,
+    )
+
+    f, s = 20, 15  # window would be 27 > 20
+    assert registration_window(s, 3.0) > f
+    stamp = _gauss(s, 7.0, 7.0, sigma=2.0)
+    field = np.zeros((f, f), np.float32)
+    pos0 = (f - s) // 2
+    field[pos0 : pos0 + s, pos0 : pos0 + s] = stamp
+    full = np.asarray(
+        position_optimization_batch(
+            jnp.asarray(field), jnp.asarray(stamp)[None],
+            jnp.asarray([[0.0, 0.0]], np.float32),
+        )
+    )
+    windowed = np.asarray(
+        position_optimization_batch_windowed(
+            jnp.asarray(field), jnp.asarray(stamp)[None],
+            jnp.asarray([[0.0, 0.0]], np.float32),
+        )
+    )
+    np.testing.assert_allclose(windowed, full, atol=1e-6)
+
+
+def test_render_field_rectangular(rng_np):
+    """A (H, W) rectangular canvas renders identically to the square canvas
+    over the shared central window (per-axis centered placement)."""
+    stamps = rng_np.random((4, 5, 5, 2)).astype(np.float32)
+    offs = np.array(
+        [[0.3, -1.2], [2.0, 3.5], [-4.1, 0.0], [6.2, -5.5]], np.float32
+    )
+    sq = np.asarray(render_field(jnp.asarray(stamps), jnp.asarray(offs), 21))
+    rect = np.asarray(
+        render_field(jnp.asarray(stamps), jnp.asarray(offs), (21, 21))
+    )
+    np.testing.assert_array_equal(rect, sq)
+    tall = np.asarray(
+        render_field(jnp.asarray(stamps), jnp.asarray(offs), (31, 21))
+    )
+    # row pos0 moves by (31-5)//2 - (21-5)//2 = 5
+    np.testing.assert_allclose(tall[5:26], sq, atol=1e-6)
