@@ -47,6 +47,10 @@ def __getattr__(name):
             "IterativeDeblendField": iterative.IterativeDeblendField,
             "TiledDeblendField": tiles.TiledDeblendField,
         }[name]
+    if name == "ShardedFieldDeblender":
+        from debvader_tpu.pipeline.sharded_field import ShardedFieldDeblender
+
+        return ShardedFieldDeblender
     if name == "detect_objects":
         from debvader_tpu.ops.detection import detect_objects
 

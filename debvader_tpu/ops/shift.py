@@ -121,7 +121,7 @@ def shift_full(img: jax.Array, shift: jax.Array) -> jax.Array:
 def render_field(
     stamps: jax.Array,
     offsets: jax.Array,
-    field_size: int,
+    field_size: int | tuple[int, int],
     mask: jax.Array | None = None,
     order: int = 1,
     chunk: int = 1024,
@@ -157,10 +157,21 @@ def render_field(
     two — at 12k x 12k x 6 the functional copy was 3.7 GB per chunk and
     tipped the 16 GB chip over.  Keep only the returned array.
 
+    ``field_size`` may be an ``(fy, fx)`` tuple for rectangular canvases
+    (the sharded serving path renders into row bands); offsets keep the
+    centered-placement convention per axis.
+
     Returns (field_size, field_size, B), or the padded canvas if crop=False.
     """
     n, s, _, b = stamps.shape
-    pos0 = (field_size - s) // 2  # centered placement (field_deblender.py:72)
+    fy, fx = (
+        (field_size, field_size)
+        if isinstance(field_size, int)
+        else field_size
+    )
+    # centered placement per axis (field_deblender.py:72)
+    pos0y = (fy - s) // 2
+    pos0x = (fx - s) // 2
 
     if order == 1:
         interp_pad, interp = 1, subpixel_shift_const
@@ -174,7 +185,8 @@ def render_field(
     pad_s = s + 2 * interp_pad
     # Canvas padded so any clipped placement stays in bounds.
     pad = pad_s
-    canvas_size = field_size + 2 * pad
+    canvas_y = fy + 2 * pad
+    canvas_x = fx + 2 * pad
 
     if mask is None:
         mask = jnp.ones((n,), bool)
@@ -196,10 +208,10 @@ def render_field(
 
     def scatter_body(canvas, inputs):
         shifted, ioff, m = inputs
-        yu = pos0 + ioff[0] - interp_pad + pad
-        xu = pos0 + ioff[1] - interp_pad + pad
-        y = jnp.clip(yu, 0, canvas_size - pad_s)
-        x = jnp.clip(xu, 0, canvas_size - pad_s)
+        yu = pos0y + ioff[0] - interp_pad + pad
+        xu = pos0x + ioff[1] - interp_pad + pad
+        y = jnp.clip(yu, 0, canvas_y - pad_s)
+        x = jnp.clip(xu, 0, canvas_x - pad_s)
         # With pad = pad_s any placement that overlaps the field at all is
         # unclipped; clipping only fires for stamps entirely outside the
         # padded canvas, which must contribute nothing (not wrap).
@@ -216,7 +228,7 @@ def render_field(
         return interp(stamp_p, f)
 
     if canvas is None:
-        canvas = jnp.zeros((canvas_size, canvas_size, b), stamps.dtype)
+        canvas = jnp.zeros((canvas_y, canvas_x, b), stamps.dtype)
     total = stamps.shape[0]
     for c0 in range(0, total, chunk):
         sl = slice(c0, c0 + chunk)
@@ -232,4 +244,4 @@ def render_field(
         )
     if not crop:
         return canvas
-    return canvas[pad : pad + field_size, pad : pad + field_size, :]
+    return canvas[pad : pad + fy, pad : pad + fx, :]

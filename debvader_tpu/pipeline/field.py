@@ -31,7 +31,7 @@ import pandas as pd
 from debvader_tpu.api import deblend, deblend_sample_stats
 from debvader_tpu.config import PipelineConfig
 from debvader_tpu.ops.extraction import extract_cutouts, extract_cutouts_np
-from debvader_tpu.ops.registration import position_optimization_batch
+from debvader_tpu.ops.registration import position_optimization_batch_windowed
 from debvader_tpu.ops.shift import render_field
 
 __all__ = ["DeblendField"]
@@ -187,6 +187,7 @@ class DeblendField:
         quantized=None,
         upload_dtype=None,
         device_dtype=None,
+        z_mode: str = "sample",
     ):
         """net: (model, variables); field_image: (1, F, F, B) array.
 
@@ -225,6 +226,10 @@ class DeblendField:
         digits for bfloat16), so results shift at the 1e-3 relative
         level like ``upload_dtype``.  Implies the reduced upload
         (``upload_dtype`` must be unset or equal).
+        ``z_mode``: 'sample' (reference semantics — the forward draws one
+        latent per stamp) or 'mean' (posterior-mean latent: a
+        deterministic forward for reproducible serving).  Epistemic
+        estimation always samples.
         """
         self.net = net
         self.field_image = np.array(field_image, dtype=np.float32)
@@ -238,11 +243,23 @@ class DeblendField:
             cutout_size=cutout_size, nb_of_bands=nb_of_bands
         )
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if z_mode not in ("sample", "mean"):
+            raise ValueError(f"z_mode must be 'sample' or 'mean', got {z_mode!r}")
+        if z_mode != "sample" and quantized is not None:
+            raise ValueError(
+                "quantized serving always samples the latent (the int8 "
+                "forward bakes in the reference z_mode); drop z_mode or "
+                "the quantized bundle"
+            )
+        # 'mean' uses the posterior mean instead of a sampled latent: a
+        # deterministic forward (reference semantics are 'sample', the
+        # Keras MVN-TriL layer's convert-fn; model/model.py:206-214)
+        self.z_mode = z_mode
         self.mesh = mesh
         if mesh is not None:
             from debvader_tpu.parallel.sharded import make_sharded_apply
 
-            self._sharded_apply = make_sharded_apply(net[0], mesh)
+            self._sharded_apply = make_sharded_apply(net[0], mesh, z_mode=z_mode)
         self.quantized = quantized
         if quantized is not None:
             if mesh is not None:
@@ -395,6 +412,7 @@ class DeblendField:
             cutouts,
             normalise=self.normalise,
             rng=self._next_rng(),
+            z_mode=self.z_mode,
             fetch_mean=False,
         )
         return dist
@@ -566,7 +584,7 @@ class DeblendField:
 
         if optimise_positions:
             shifts = np.asarray(
-                position_optimization_batch(
+                position_optimization_batch_windowed(
                     jnp.asarray(field_image[0, :, :, band]),
                     jnp.asarray(means[..., band]),
                     jnp.asarray(dets),
@@ -997,7 +1015,7 @@ class DeblendField:
                 epi_norm_dev = jnp.zeros((m,), jnp.float32)
 
             if optimise_positions:
-                shifts_dev = position_optimization_batch(
+                shifts_dev = position_optimization_batch_windowed(
                     reg_band,
                     means_dev[..., band],
                     jnp.asarray(dets),

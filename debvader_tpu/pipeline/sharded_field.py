@@ -1,0 +1,471 @@
+"""Row-band sharded survey serving: the field lives SHARDED across a mesh.
+
+Single-chip serving (pipeline/field.py deblend_and_render) is HBM-bound at
+survey scale: the resident field plus the render canvas reach ~13 GB at
+16k x 16k x 6 float32, and one v5e chip only serves 16k with bfloat16
+residency.  This module shards the *field itself* — not just the stamp
+batch — over a device mesh so per-chip residency scales with 1/D:
+
+- the field is split into D row bands, each device holding its band plus a
+  ``halo`` of neighbor rows covering every cross-band read (cutout
+  extraction, the registration window) — the scaling-book recipe of
+  partitioning the big axis and exchanging only boundary state;
+- each source is processed by the device that owns its center row: the
+  whole extract -> forward -> register -> render chunk pipeline runs as ONE
+  ``shard_map`` program with NO collectives in the hot loop (sources never
+  cross devices; the VAE weights are replicated);
+- each device renders into its own padded band canvas; cross-band
+  contributions (a stamp can straddle a band edge) accumulate in the halo
+  region and are folded into the owning neighbor with a single
+  ``lax.ppermute`` strip exchange at the END of the stream — two
+  (halo+pad, F, B) strips per device over ICI, once per field;
+- the residual is computed band-local and leaves the devices already
+  row-sharded; the host reassembles by concatenation.
+
+Per-device HBM: (F/D + 2*halo) * F * B field + the matching canvas — an 8
+chip mesh serves a 32k x 32k x 6 float32 coadd (24.6 GB field global) in
+~3.4 GB per chip where the single-chip path cannot hold it at all.
+
+Numerics match the single-device streaming driver: extraction uses the
+same trunc/border semantics (extract/extraction.py:21-36 via
+ops/extraction.py), registration is the windowed Gauss-Newton whose normal
+equations equal the full-field reference objective
+(ops/registration.py), and rendering re-bases offsets by an exact integer
+per band so interpolation fractions are bit-identical.  Residuals agree
+with DeblendField.deblend_and_render to float-reassociation tolerance
+(tests/test_sharded_field.py, deterministic z_mode='mean').
+
+Reference anchor: the reference has no scene-scale parallelism of any kind
+(SURVEY.md §2 preamble); this is the survey-scale scaling component the
+TPU build adds, the serving counterpart of parallel/sharded.py's training
+step.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from debvader_tpu.config import PipelineConfig
+from debvader_tpu.ops.registration import (
+    position_optimization_batch_windowed,
+    registration_window,
+)
+from debvader_tpu.ops.shift import render_field, render_pad
+
+__all__ = ["ShardedFieldDeblender", "band_halo"]
+
+BAND_AXIS = "band"
+
+
+def band_halo(cutout_size: int, bound: float, interp_order: int) -> int:
+    """Rows of neighbor-band overlap each device must hold.
+
+    Covers every cross-band access of a source whose center row lies in
+    the band: the extraction window (cutout//2 + 1 for the trunc/floor
+    gap), the registration window (cutout//2 + ceil(bound) + 3 + 1), and
+    the render write extent (cutout//2 + ceil(bound) + interp_pad + 2).
+    """
+    half = cutout_size // 2
+    interp_pad = 1 if interp_order == 1 else 10
+    reg = registration_window(cutout_size, bound) - cutout_size  # 2*(ceil+3)
+    return half + max(reg // 2, math.ceil(bound) + interp_pad) + 2
+
+
+def _band_mesh(mesh_or_devices) -> Mesh:
+    """A 1-D ('band',) mesh over the given mesh's devices (any shape) or an
+    explicit device list."""
+    if isinstance(mesh_or_devices, Mesh):
+        devs = np.asarray(mesh_or_devices.devices).reshape(-1)
+    else:
+        devs = np.asarray(mesh_or_devices).reshape(-1)
+    return Mesh(devs, (BAND_AXIS,))
+
+
+class ShardedFieldDeblender:
+    """Survey serving with the field row-band sharded over a device mesh.
+
+    net: (model, variables) like DeblendField.  ``mesh``: a
+    jax.sharding.Mesh (any axis layout — all its devices are used as one
+    band axis) or an explicit device sequence.  The field must be tall
+    enough that one band holds a full halo (F >= D * halo), i.e. this is
+    the SURVEY-scale path; small fields belong on one chip.
+
+    Supported products: ``deblend_and_render`` (catalog + residual
+    [+ model]).  Epistemic sampling and the predicted-field canvases stay
+    on the single-chip driver for now.
+    """
+
+    def __init__(
+        self,
+        net,
+        field_image,
+        mesh,
+        cutout_size: int = 59,
+        nb_of_bands: int = 6,
+        normalise: bool = False,
+        cfg: PipelineConfig | None = None,
+        rng: jax.Array | None = None,
+        z_mode: str = "sample",
+    ):
+        from debvader_tpu.pipeline.field import _check_field_image
+
+        self.net = net
+        self.field_image = np.array(field_image, dtype=np.float32)
+        _check_field_image(self.field_image)
+        self.field_size = int(self.field_image.shape[1])
+        self.cutout_size = cutout_size
+        self.nb_of_bands = nb_of_bands
+        self.normalise = normalise
+        self.cfg = cfg or PipelineConfig(
+            cutout_size=cutout_size, nb_of_bands=nb_of_bands
+        )
+        self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if z_mode not in ("sample", "mean"):
+            raise ValueError(f"z_mode must be 'sample' or 'mean', got {z_mode!r}")
+        self.z_mode = z_mode
+
+        self.mesh = _band_mesh(mesh)
+        self.n_bands_mesh = int(self.mesh.shape[BAND_AXIS])
+
+        f, d = self.field_size, self.n_bands_mesh
+        self.halo = band_halo(
+            cutout_size, self.cfg.position_bounds, self.cfg.interp_order
+        )
+        self.band_h = -(-f // d)  # ceil: bottom band zero-padded
+        if self.band_h < self.halo:
+            raise ValueError(
+                f"field of {f} rows over {d} devices gives {self.band_h}-row "
+                f"bands, smaller than the {self.halo}-row halo a "
+                f"{cutout_size}px cutout needs — cross-band writes would "
+                f"skip a band.  Use fewer devices or the single-chip driver."
+            )
+        self.interp_pad = 1 if self.cfg.interp_order == 1 else 10
+        self.pad = render_pad(cutout_size, self.cfg.interp_order)
+        self.h_pad = self.band_h + 2 * self.halo
+
+        self._replicated = NamedSharding(self.mesh, P())
+        self._banded = NamedSharding(self.mesh, P(BAND_AXIS))
+        model, variables = net
+        self._model = model
+        self._variables = jax.device_put(variables, self._replicated)
+        self._shards = None  # lazy: built on first serve
+        self._steps: dict[int, callable] = {}
+        self._finish = None
+        self.nb_of_detected_objects: list[int] = []
+        self.nb_of_deblended_galaxies: list[int] = []
+
+    # ------------------------------------------------------------ geometry
+    def _next_rng(self) -> jax.Array:
+        self._rng, out = jax.random.split(self._rng)
+        return out
+
+    def _field_shards(self) -> jax.Array:
+        """(D, band_h + 2*halo, F, B) pre-haloed row bands, sharded over
+        the band axis.  Rows outside [0, F) are zero."""
+        if self._shards is not None:
+            return self._shards
+        f, d, bh, halo = self.field_size, self.n_bands_mesh, self.band_h, self.halo
+        field = self.field_image[0]
+        shards = np.zeros((d, self.h_pad, f, self.nb_of_bands), np.float32)
+        for k in range(d):
+            lo = k * bh - halo
+            hi = lo + self.h_pad
+            src_lo, src_hi = max(lo, 0), min(hi, f)
+            if src_lo < src_hi:
+                shards[k, src_lo - lo : src_hi - lo] = field[src_lo:src_hi]
+        self._shards = jax.device_put(shards, self._banded)
+        return self._shards
+
+    def _assign(self, centers: np.ndarray):
+        """Host-side source routing: border validity (true-field
+        semantics, extract/extraction.py:21-36) and band ownership by
+        center row."""
+        f, cs = self.field_size, self.cutout_size
+        half, fhalf = cs // 2, f // 2
+        c_int = np.trunc(centers).astype(np.int64)
+        starts = c_int + (fhalf - half)
+        valid = np.all((starts >= 0) & (starts + cs <= f), axis=-1)
+        owner = np.clip((c_int[:, 0] + fhalf) // self.band_h, 0, self.n_bands_mesh - 1)
+        return starts, valid, owner
+
+    # ------------------------------------------------------------- kernels
+    def _chunk_step(self, m: int, optimise: bool):
+        """The jitted sharded chunk program for per-device bucket m:
+        gather -> forward -> mse -> (windowed registration) -> render, all
+        band-local, canvas donated across chunks."""
+        if (m, optimise) in self._steps:
+            return self._steps[(m, optimise)]
+
+        cs, b = self.cutout_size, self.nb_of_bands
+        f, bh, halo, h_pad = self.field_size, self.band_h, self.halo, self.h_pad
+        det_band = 2 if b > 2 else 0
+        w = self.cfg.mse_window
+        c0, c1 = cs // 2 - w, cs // 2 + w
+        model, normalise, z_mode = self._model, self.normalise, self.z_mode
+        bound, gn_iters = self.cfg.position_bounds, self.cfg.gn_iterations
+        order = self.cfg.interp_order
+        # integer row re-base: global offsets (from the F-field center)
+        # -> local offsets (from the padded-band center); integral, so
+        # interpolation fractions match the single-device path exactly
+        base_delta = (f - cs) // 2 - (h_pad - cs) // 2 + halo
+
+        def body(variables, band, starts, mask, dets, rng, canvas):
+            band = band[0]
+            starts, mask, dets = starts[0], mask[0], dets[0]
+            canvas = canvas[0]
+            k = jax.lax.axis_index(BAND_AXIS)
+            rng = jax.random.fold_in(rng, k)
+            delta = jnp.asarray(
+                [base_delta, 0], jnp.float32
+            ) - jnp.asarray([bh, 0], jnp.float32) * k.astype(jnp.float32)
+
+            def gather(st):
+                return jax.lax.dynamic_slice(band, (st[0], st[1], 0), (cs, cs, b))
+
+            raw = jax.vmap(gather)(starts).astype(jnp.float32)
+            raw = jnp.where(mask[:, None, None, None], raw, 0.0)
+            x = jnp.where(jnp.isfinite(raw), raw, 0.0)
+            if normalise:
+                from debvader_tpu.ops.normalize import normalize_non_linear
+
+                x = normalize_non_linear(x)
+            dist, _ = model.apply(variables, x, rng=rng, z_mode=z_mode)
+            if normalise:
+                from debvader_tpu.ops.normalize import denormalize_distribution
+
+                dist = denormalize_distribution(dist)
+            means = dist.mean()
+
+            mse = jnp.mean(
+                jnp.square(raw[:, c0:c1, c0:c1] - means[:, c0:c1, c0:c1]),
+                axis=(1, 2, 3),
+            )
+
+            dets_local = dets + delta
+            if optimise:
+                # windows clamp at the TRUE field's rows, not the band's
+                # synthetic zero halo beyond the global edge, so border
+                # sources see exactly the full-field solve's clipping
+                row_lo = jnp.maximum(0, halo - k * bh)
+                row_hi = jnp.minimum(h_pad, f - k * bh + halo)
+                shifts = position_optimization_batch_windowed(
+                    band[:, :, det_band],
+                    means[..., det_band],
+                    dets_local,
+                    bound=bound,
+                    iterations=gn_iters,
+                    row_bounds=(row_lo, row_hi),
+                )
+            else:
+                shifts = jnp.zeros((m, 2), jnp.float32)
+
+            canvas = render_field(
+                means,
+                dets_local + shifts,
+                (h_pad, f),
+                mask=mask,
+                order=order,
+                canvas=canvas,
+                crop=False,
+            )
+            return canvas[None], mse[None], shifts[None]
+
+        mapped = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(
+                P(),  # variables
+                P(BAND_AXIS),  # field shards
+                P(BAND_AXIS),  # starts
+                P(BAND_AXIS),  # mask
+                P(BAND_AXIS),  # dets
+                P(),  # rng
+                P(BAND_AXIS),  # canvas
+            ),
+            out_specs=(P(BAND_AXIS), P(BAND_AXIS), P(BAND_AXIS)),
+        )
+        step = jax.jit(mapped, donate_argnums=(6,))
+        self._steps[(m, optimise)] = step
+        return step
+
+    def _finish_step(self):
+        """Fold cross-band canvas strips into their owners (one ppermute
+        pair over ICI) and emit the band-local residual/model — the only
+        collective in the whole serve."""
+        if self._finish is not None:
+            return self._finish
+
+        f, bh, halo, pad = self.field_size, self.band_h, self.halo, self.pad
+        strip = halo + pad
+        d = self.n_bands_mesh
+
+        def body(band, canvas):
+            band, canvas = band[0], canvas[0]
+            if d > 1:
+                up = canvas[:strip]  # my contributions to band k-1
+                down = canvas[bh + strip :]  # ... to band k+1
+                from_below = jax.lax.ppermute(
+                    up, BAND_AXIS, [(k, k - 1) for k in range(1, d)]
+                )
+                from_above = jax.lax.ppermute(
+                    down, BAND_AXIS, [(k, k + 1) for k in range(d - 1)]
+                )
+                canvas = canvas.at[bh : bh + strip].add(from_below)
+                canvas = canvas.at[strip : 2 * strip].add(from_above)
+            model_band = canvas[strip : strip + bh, pad : pad + f]
+            resid = band[halo : halo + bh] - model_band
+            return resid, model_band
+
+        mapped = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(P(BAND_AXIS), P(BAND_AXIS)),
+            out_specs=(P(BAND_AXIS), P(BAND_AXIS)),
+        )
+        self._finish = jax.jit(mapped, donate_argnums=(1,))
+        return self._finish
+
+    # ------------------------------------------------------------- serving
+    def deblend_and_render(
+        self,
+        galaxy_distances_to_center,
+        optimise_positions: bool = False,
+        mse_criterion: float = 100.0,
+        return_model: bool = False,
+        source_chunk_per_band: int | None = None,
+        timings=None,
+    ):
+        """Catalog + residual with every full-field buffer sharded.
+
+        Matches DeblendField.deblend_and_render's products (catalog minus
+        the epistemic column semantics — epistemic_norm is 0 as when
+        epistemic estimation is off) with identical extraction, forward,
+        registration and render math per source; the band-parallel chunk
+        loop changes only float summation order.
+        """
+        from debvader_tpu.utils.profiling import stage_timer
+
+        t = timings if timings is not None else {}
+        self.serving_timings = t
+        f, b = self.field_size, self.nb_of_bands
+        centers = np.asarray(
+            galaxy_distances_to_center, np.float32
+        ).reshape(-1, 2)
+        d, bh = self.n_bands_mesh, self.band_h
+
+        with stage_timer(t, "upload"):
+            shards = self._field_shards()
+
+        starts_g, valid, owner = self._assign(centers)
+        if not valid.all():
+            print(
+                "Some galaxies are too close from the border of the "
+                "field to be considered here."
+            )
+        per_band: list[np.ndarray] = [
+            np.flatnonzero(valid & (owner == k)) for k in range(d)
+        ]
+        max_len = max((len(ix) for ix in per_band), default=0)
+        self.nb_of_detected_objects.append(len(centers))
+        self.nb_of_deblended_galaxies.append(int(valid.sum()))
+        if max_len == 0:
+            print("No galaxy deblended. End of the iterative procedure.")
+            if return_model:
+                return None, self.field_image.copy(), np.zeros((f, f, b), np.float32)
+            return None, self.field_image.copy()
+
+        from debvader_tpu.api import _bucket
+
+        m = _bucket(max_len)
+        if source_chunk_per_band or self.cfg.source_chunk:
+            cap = source_chunk_per_band or self.cfg.source_chunk
+            m = min(m, _bucket(cap))
+        n_steps = -(-max_len // m)
+
+        canvas = jnp.zeros(
+            (d, self.h_pad + 2 * self.pad, f + 2 * self.pad, b), jnp.float32
+        )
+        canvas = jax.device_put(canvas, self._banded)
+        step = self._chunk_step(m, bool(optimise_positions))
+
+        cols = {
+            k: []
+            for k in (
+                "shifts",
+                "list_idx",
+                "galaxy_distances_to_center_x",
+                "galaxy_distances_to_center_y",
+                "mse_center",
+                "epistemic_norm",
+                "passed_cuts",
+            )
+        }
+        with stage_timer(t, "deblend_render"):
+            for s0 in range(n_steps):
+                starts = np.zeros((d, m, 2), np.int32)
+                mask = np.zeros((d, m), bool)
+                dets = np.zeros((d, m, 2), np.float32)
+                idx = np.full((d, m), -1, np.int64)
+                for k in range(d):
+                    take = per_band[k][s0 * m : (s0 + 1) * m]
+                    nk = len(take)
+                    if nk == 0:
+                        continue
+                    # row starts local to the haloed band; cols global
+                    st = starts_g[take].astype(np.int64)
+                    st[:, 0] -= k * bh - self.halo
+                    starts[k, :nk] = st
+                    mask[k, :nk] = True
+                    dets[k, :nk] = centers[take]
+                    idx[k, :nk] = take
+                canvas, mse, shifts = step(
+                    self._variables,
+                    shards,
+                    jax.device_put(starts, self._banded),
+                    jax.device_put(mask, self._banded),
+                    jax.device_put(dets, self._banded),
+                    self._next_rng(),
+                    canvas,
+                )
+                mse_h, shifts_h = jax.device_get((mse, shifts))
+                for k in range(d):
+                    sel = np.flatnonzero(idx[k] >= 0)
+                    for j in sel:
+                        cols["list_idx"].append(int(idx[k, j]))
+                        cols["galaxy_distances_to_center_x"].append(dets[k, j, 0])
+                        cols["galaxy_distances_to_center_y"].append(dets[k, j, 1])
+                        cols["mse_center"].append(mse_h[k, j])
+                        cols["epistemic_norm"].append(np.float32(0.0))
+                        cols["shifts"].append(shifts_h[k, j])
+                        cols["passed_cuts"].append(
+                            bool(
+                                np.isfinite(mse_h[k, j])
+                                and mse_h[k, j] <= mse_criterion
+                            )
+                        )
+
+        with stage_timer(t, "field_download"):
+            resid_s, model_s = self._finish_step()(shards, canvas)
+            if return_model:
+                resid, model_f = jax.device_get((resid_s, model_s))
+                model_f = model_f[:f]
+            else:
+                resid = jax.device_get(resid_s)
+            resid = resid[:f]
+
+        import pandas as pd
+
+        order = np.argsort(np.asarray(cols["list_idx"], np.int64), kind="stable")
+        cols = {k: [v[i] for i in order] for k, v in cols.items()}
+        catalog = pd.DataFrame(cols).to_records(index=False)
+        residual_field = self.field_image.copy()
+        residual_field[0] = resid
+        if return_model:
+            return catalog, residual_field, model_f
+        return catalog, residual_field

@@ -822,3 +822,25 @@ def test_model_subtract_donated_matches_plain():
     assert float(m1) == float(m2)
     expected = residual[0] - canvas[pad : pad + f, pad : pad + f, :]
     np.testing.assert_allclose(np.asarray(r1)[0], expected, rtol=1e-6)
+
+
+def test_z_mode_mean_deterministic_serving(tiny_net):
+    """z_mode='mean' gives a reproducible forward: two pipelines with
+    different rng seeds produce identical residuals (under 'sample' they
+    differ), and z_mode is validated."""
+    field, centers = _tiny_field()
+    kw = dict(cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    a = DeblendField(tiny_net, field, z_mode="mean", rng=jax.random.PRNGKey(1), **kw)
+    b = DeblendField(tiny_net, field, z_mode="mean", rng=jax.random.PRNGKey(2), **kw)
+    _, res_a = a.deblend_and_render(centers)
+    _, res_b = b.deblend_and_render(centers)
+    np.testing.assert_array_equal(res_a, res_b)
+
+    s1 = DeblendField(tiny_net, field, rng=jax.random.PRNGKey(1), **kw)
+    s2 = DeblendField(tiny_net, field, rng=jax.random.PRNGKey(2), **kw)
+    _, r1 = s1.deblend_and_render(centers)
+    _, r2 = s2.deblend_and_render(centers)
+    assert np.abs(r1 - r2).max() > 0  # sampled latents differ
+
+    with pytest.raises(ValueError, match="z_mode"):
+        DeblendField(tiny_net, field, z_mode="bogus", **kw)

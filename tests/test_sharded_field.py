@@ -1,0 +1,158 @@
+"""Row-band sharded survey serving: parity with the single-chip streaming
+driver on a virtual CPU mesh (SURVEY.md §4 fake-multi-device trick).
+
+The sharded path must reproduce DeblendField.deblend_and_render's products
+— same catalog rows, same residual up to float summation order — with the
+field, render canvas and residual sharded over the 'band' axis.  The
+forward is made deterministic with z_mode='mean' so the comparison is not
+confounded by latent sampling (the two paths consume PRNG keys in
+different chunk orders by construction).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from debvader_tpu.config import ModelConfig, PipelineConfig
+from debvader_tpu.models.vae import DeblenderVAE, init_vae
+from debvader_tpu.pipeline.field import DeblendField
+from debvader_tpu.pipeline.sharded_field import (
+    ShardedFieldDeblender,
+    band_halo,
+)
+
+TINY = ModelConfig(
+    stamp_size=23, nb_of_bands=3, latent_dim=4, filters=(4, 8), kernels=(3, 3)
+)
+CS, B, F, D = 23, 3, 192, 4
+
+
+@pytest.fixture(scope="module")
+def tiny_net():
+    model = DeblenderVAE(TINY)
+    variables = init_vae(model, jax.random.PRNGKey(0))
+    return model, variables
+
+
+def _mesh():
+    from debvader_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(D)
+
+
+def _field(seed=0, n_src=14):
+    """A field with sources spread over all four bands, including sources
+    near band boundaries (cross-band stamps) and the field border."""
+    rng = np.random.default_rng(seed)
+    field = 0.01 * rng.normal(size=(1, F, F, B)).astype(np.float32)
+    yy, xx = np.mgrid[:F, :F]
+    centers = []
+    for i in range(n_src):
+        if i < 3:  # straddle band boundaries (rows 48, 96, 144)
+            cy = 48 * (i + 1) + rng.integers(-2, 3)
+            cx = rng.integers(20, F - 20)
+        elif i == 3:  # hug the top border (still extraction-valid)
+            cy, cx = CS // 2 + 1, rng.integers(20, F - 20)
+        else:
+            cy, cx = rng.integers(15, F - 15, size=2)
+        amp = rng.uniform(1, 3)
+        blob = amp * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 6.0)
+        field[0] += blob[:, :, None].astype(np.float32)
+        centers.append((cy - F // 2, cx - F // 2))
+    # one border-invalid source the extraction must drop on both paths
+    centers.append((-(F // 2) + 2, 0.0))
+    return field, np.asarray(centers, np.float32) + rng.uniform(
+        -0.4, 0.4, size=(n_src + 1, 2)
+    ).astype(np.float32)
+
+
+def _cfg(**kw):
+    return PipelineConfig(cutout_size=CS, nb_of_bands=B, **kw)
+
+
+def _single(tiny_net, field, centers, **kw):
+    df = DeblendField(
+        tiny_net, field, cutout_size=CS, nb_of_bands=B, cfg=_cfg(),
+        z_mode="mean",
+    )
+    return df.deblend_and_render(centers, **kw)
+
+
+def _sharded(tiny_net, field, centers, **kw):
+    sf = ShardedFieldDeblender(
+        tiny_net, field, _mesh(), cutout_size=CS, nb_of_bands=B, cfg=_cfg(),
+        z_mode="mean",
+    )
+    return sf, sf.deblend_and_render(centers, **kw)
+
+
+def test_sharded_matches_single_device(tiny_net):
+    field, centers = _field()
+    cat_s, res_s = _single(tiny_net, field, centers)
+    sf, (cat_p, res_p) = _sharded(tiny_net, field, centers)
+
+    assert res_p.shape == field.shape
+    np.testing.assert_array_equal(cat_p.list_idx, cat_s.list_idx)
+    np.testing.assert_allclose(
+        cat_p.galaxy_distances_to_center_x, cat_s.galaxy_distances_to_center_x
+    )
+    np.testing.assert_allclose(cat_p.mse_center, cat_s.mse_center, rtol=1e-4)
+    np.testing.assert_array_equal(cat_p.passed_cuts, cat_s.passed_cuts)
+    np.testing.assert_allclose(res_p, res_s, atol=2e-5)
+    # the sharded outputs really were band-sharded on device
+    assert sf.n_bands_mesh == D
+
+
+def test_sharded_matches_single_device_registered(tiny_net):
+    field, centers = _field(seed=3)
+    cat_s, res_s = _single(tiny_net, field, centers, optimise_positions=True)
+    _, (cat_p, res_p) = _sharded(
+        tiny_net, field, centers, optimise_positions=True
+    )
+    sh_s = np.stack(list(cat_s.shifts))
+    sh_p = np.stack(list(cat_p.shifts))
+    np.testing.assert_allclose(sh_p, sh_s, atol=2e-3)
+    np.testing.assert_allclose(res_p, res_s, atol=2e-4)
+
+
+def test_sharded_return_model_decomposition(tiny_net):
+    field, centers = _field(seed=5)
+    _, (cat, residual, model) = _sharded(
+        tiny_net, field, centers, return_model=True
+    )
+    np.testing.assert_allclose(residual[0] + model, field[0], atol=1e-5)
+
+
+def test_sharded_chunked_stream_matches_one_shot(tiny_net):
+    """Forcing multiple chunk steps per band accumulates the same canvas."""
+    field, centers = _field(seed=7)
+    _, (cat_a, res_a) = _sharded(tiny_net, field, centers)
+    sf = ShardedFieldDeblender(
+        tiny_net, field, _mesh(), cutout_size=CS, nb_of_bands=B, cfg=_cfg(),
+        z_mode="mean",
+    )
+    cat_b, res_b = sf.deblend_and_render(centers, source_chunk_per_band=1)
+    np.testing.assert_array_equal(cat_a.list_idx, cat_b.list_idx)
+    np.testing.assert_allclose(res_a, res_b, atol=2e-5)
+
+
+def test_sharded_rejects_too_small_field(tiny_net):
+    halo = band_halo(CS, 3.0, 1)
+    f_small = D * (halo - 1)
+    field = np.zeros((1, f_small, f_small, B), np.float32)
+    with pytest.raises(ValueError, match="halo"):
+        ShardedFieldDeblender(
+            tiny_net, field, _mesh(), cutout_size=CS, nb_of_bands=B, cfg=_cfg()
+        )
+
+
+def test_sharded_no_sources(tiny_net):
+    field, _ = _field(seed=9, n_src=1)
+    # only a border-invalid source
+    centers = np.asarray([[-(F // 2) + 1, 0.0]], np.float32)
+    sf = ShardedFieldDeblender(
+        tiny_net, field, _mesh(), cutout_size=CS, nb_of_bands=B, cfg=_cfg()
+    )
+    cat, residual = sf.deblend_and_render(centers)
+    assert cat is None
+    np.testing.assert_array_equal(residual, field)
