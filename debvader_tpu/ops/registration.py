@@ -192,8 +192,17 @@ def position_optimization_batch_windowed(
             zero-padded base (zero pad == subpixel_shift's zeroed
             out-of-extent taps), the fractional part is a two-tap blend,
             and the final mask reproduces the outright-cval semantics at
-            the window extent."""
-            ix = jnp.floor(x).astype(jnp.int32)
+            the window extent.
+
+            The decomposition uses frac in (0, 1] (ix = ceil(x) - 1), not
+            [0, 1): at an exact-integer shift — the Gauss-Newton START,
+            x0 = 0 — bilinear interpolation sits on a knot where the two
+            half-open conventions pick OPPOSITE one-sided derivatives
+            (backward vs forward difference).  Values agree either way,
+            but jacfwd through the [0,1) form took a different first GN
+            step than subpixel_shift's floor(i - x) tap pair; (0, 1]
+            reproduces subpixel_shift's knot derivative exactly."""
+            ix = jnp.ceil(x).astype(jnp.int32) - 1
             f2 = x - ix
             ext = jax.lax.dynamic_slice(
                 base_p, (bp - ix[0] - 1, bp - ix[1] - 1), (win + 1, win + 1)

@@ -60,7 +60,9 @@ from debvader_tpu.ops.shift import render_field, render_pad
 
 __all__ = ["ShardedFieldDeblender", "band_halo"]
 
-BAND_AXIS = "band"
+# the band axis is named 'data' so band-sharded stacks compose directly
+# with the 'data'-axis helpers (detect_sources_batched's sharded core)
+BAND_AXIS = "data"
 
 
 def band_halo(cutout_size: int, bound: float, interp_order: int) -> int:
@@ -112,6 +114,7 @@ class ShardedFieldDeblender:
         cfg: PipelineConfig | None = None,
         rng: jax.Array | None = None,
         z_mode: str = "sample",
+        halo: int | None = None,
     ):
         from debvader_tpu.pipeline.field import _check_field_image
 
@@ -134,10 +137,24 @@ class ShardedFieldDeblender:
         self.n_bands_mesh = int(self.mesh.shape[BAND_AXIS])
 
         f, d = self.field_size, self.n_bands_mesh
-        self.halo = band_halo(
+        self.band_h = -(-f // d)  # ceil: bottom band zero-padded
+        base_halo = band_halo(
             cutout_size, self.cfg.position_bounds, self.cfg.interp_order
         )
-        self.band_h = -(-f // d)  # ceil: bottom band zero-padded
+        if halo is None:
+            # include detection tile context (cross-band tiles read
+            # `tile_overlap` neighbor rows) when the bands can afford it;
+            # serving alone only needs base_halo
+            halo = max(base_halo, self.cfg.tile_overlap)
+            if halo > self.band_h:
+                halo = base_halo
+        elif halo < base_halo:
+            raise ValueError(
+                f"halo={halo} is below the {base_halo} rows serving needs "
+                f"(cutout {cutout_size}, bound {self.cfg.position_bounds}, "
+                f"order {self.cfg.interp_order})"
+            )
+        self.halo = halo
         if self.band_h < self.halo:
             raise ValueError(
                 f"field of {f} rows over {d} devices gives {self.band_h}-row "
@@ -331,7 +348,393 @@ class ShardedFieldDeblender:
         self._finish = jax.jit(mapped, donate_argnums=(1,))
         return self._finish
 
+    # ----------------------------------------------------------- detection
+    def detect_objects(
+        self,
+        det_cfg=None,
+        tile: int | None = None,
+        overlap: int | None = None,
+        timings=None,
+        shards=None,
+    ) -> np.ndarray:
+        """Tiled detection over the band-sharded field: each device tiles
+        its own band (plus ``overlap`` context rows from its halo), the
+        tile stacks ride the 'data'-sharded batched detection core, and the
+        host merge assigns each source to the single tile core containing
+        it — with band boundaries as additional core cuts, exactly like
+        detect_objects_tiled's core partition (pipeline/tiles.py).
+
+        Returns (N, 2) center offsets, the detect_objects convention
+        (reference detect/detection.py:48-56).
+        """
+        from debvader_tpu.config import DetectionConfig
+        from debvader_tpu.ops.detection import detect_sources_batched
+        from debvader_tpu.pipeline.tiles import tile_origins
+
+        det_cfg = det_cfg or DetectionConfig()
+        tile = tile or self.cfg.tile_size
+        overlap = overlap or self.cfg.tile_overlap
+        f, d, bh, halo = self.field_size, self.n_bands_mesh, self.band_h, self.halo
+        if overlap > halo:
+            raise ValueError(
+                f"tile overlap {overlap} exceeds the shard halo {halo}; "
+                f"rebuild the deblender with cfg.tile_overlap >= {overlap}"
+            )
+        if tile > bh:
+            raise ValueError(
+                f"tile size {tile} exceeds the {bh}-row band; use a "
+                f"smaller tile or fewer devices"
+            )
+        half = f // 2
+        nb = self.nb_of_bands
+        det_band = (
+            det_cfg.detection_band if nb > det_cfg.detection_band else 0
+        )
+        if shards is None:
+            shards = self._field_shards()
+
+        # per-band row tiling over [band - overlap, band + overlap) ∩ field
+        ys_band: list[list[int]] = []
+        for k in range(d):
+            lo = max(0, k * bh - overlap)
+            hi = min(f, (k + 1) * bh + overlap)
+            ys_band.append([lo + o for o in tile_origins(hi - lo, tile, overlap)])
+        t_rows = max(len(ys) for ys in ys_band)
+        real_rows = [len(ys) for ys in ys_band]
+        for ys in ys_band:  # pad edge bands to a common count (dummy core)
+            while len(ys) < t_rows:
+                ys.append(ys[-1])
+
+        xs = tile_origins(f, tile, overlap)
+
+        def core_bounds(origins, lo, hi):
+            cuts = [float(lo)]
+            for a, bb in zip(origins[:-1], origins[1:]):
+                cuts.append(min(max((a + bb + tile) / 2.0, lo), hi))
+            cuts.append(float(hi))
+            return list(zip(cuts[:-1], cuts[1:]))
+
+        x_cores = core_bounds(xs, 0, f)
+        y_cores_band = [
+            core_bounds(
+                ys_band[k][: real_rows[k]], k * bh, min((k + 1) * bh, f)
+            )
+            for k in range(d)
+        ]
+
+        # device tile stack: (d, t_rows * len(xs), tile, tile) sharded
+        n_x = len(xs)
+        ys_local = np.asarray(
+            [[y - (k * bh - halo) for y in ys_band[k]] for k in range(d)],
+            np.int32,
+        )
+        # edge bands: the halo beyond the field is zero rows, but origins
+        # were clipped to the field so tiles never dip below local row 0
+        assert (ys_local >= 0).all() and (
+            ys_local + tile <= self.h_pad
+        ).all(), "band tiling escaped the shard extent"
+
+        def stack_body(band, ys_loc):
+            band, ys_loc = band[0], ys_loc[0]
+            det2d = band[:, :, det_band]
+            tiles = [
+                jax.lax.dynamic_slice(det2d, (ys_loc[i], ox), (tile, tile))
+                for i in range(t_rows)
+                for ox in xs
+            ]
+            return jnp.stack(tiles)[None]
+
+        stack = jax.jit(
+            jax.shard_map(
+                stack_body,
+                mesh=self.mesh,
+                in_specs=(P(BAND_AXIS), P(BAND_AXIS)),
+                out_specs=P(BAND_AXIS),
+            )
+        )(shards, jax.device_put(ys_local, self._banded))
+        stack = stack.reshape((d * t_rows * n_x, tile, tile))
+
+        objs = detect_sources_batched(
+            stack, det_cfg, mesh=self.mesh, timings=timings, want_map=False
+        )
+
+        out = []
+        i = 0
+        for k in range(d):
+            for r in range(t_rows):
+                for c in range(n_x):
+                    obj = objs[i]
+                    i += 1
+                    if r >= real_rows[k] or len(obj["y"]) == 0:
+                        continue
+                    y_lo, y_hi = y_cores_band[k][r]
+                    x_lo, x_hi = x_cores[c]
+                    gy = obj["y"] + ys_band[k][r]
+                    gx = obj["x"] + xs[c]
+                    keep = (
+                        (gy >= y_lo) & (gy < y_hi) & (gx >= x_lo) & (gx < x_hi)
+                    )
+                    for yy, xx in zip(gy[keep], gx[keep]):
+                        out.append(
+                            (np.round(-half + yy), np.round(-half + xx))
+                        )
+        if not out:
+            return np.zeros((0, 2))
+        return np.asarray(out)
+
     # ------------------------------------------------------------- serving
+    def _stream(
+        self,
+        shards,
+        centers: np.ndarray,
+        optimise_positions: bool,
+        mse_criterion: float,
+        source_chunk_per_band: int | None,
+    ):
+        """Chunk-streamed extract -> forward -> register -> render against
+        the given haloed shards.  Returns (cols dict sorted by list_idx,
+        padded sharded canvas | None, n_deblended)."""
+        f, b = self.field_size, self.nb_of_bands
+        d, bh = self.n_bands_mesh, self.band_h
+
+        starts_g, valid, owner = self._assign(centers)
+        if not valid.all():
+            print(
+                "Some galaxies are too close from the border of the "
+                "field to be considered here."
+            )
+        per_band: list[np.ndarray] = [
+            np.flatnonzero(valid & (owner == k)) for k in range(d)
+        ]
+        max_len = max((len(ix) for ix in per_band), default=0)
+        self.nb_of_detected_objects.append(len(centers))
+        self.nb_of_deblended_galaxies.append(int(valid.sum()))
+        cols = {
+            k: []
+            for k in (
+                "shifts",
+                "list_idx",
+                "galaxy_distances_to_center_x",
+                "galaxy_distances_to_center_y",
+                "mse_center",
+                "epistemic_norm",
+                "passed_cuts",
+            )
+        }
+        if max_len == 0:
+            return cols, None, 0
+
+        from debvader_tpu.api import _bucket
+
+        m = _bucket(max_len)
+        if source_chunk_per_band or self.cfg.source_chunk:
+            cap = source_chunk_per_band or self.cfg.source_chunk
+            m = min(m, _bucket(cap))
+        n_steps = -(-max_len // m)
+
+        canvas = jnp.zeros(
+            (d, self.h_pad + 2 * self.pad, f + 2 * self.pad, b), jnp.float32
+        )
+        canvas = jax.device_put(canvas, self._banded)
+        step = self._chunk_step(m, bool(optimise_positions))
+
+        for s0 in range(n_steps):
+            starts = np.zeros((d, m, 2), np.int32)
+            mask = np.zeros((d, m), bool)
+            dets = np.zeros((d, m, 2), np.float32)
+            idx = np.full((d, m), -1, np.int64)
+            for k in range(d):
+                take = per_band[k][s0 * m : (s0 + 1) * m]
+                nk = len(take)
+                if nk == 0:
+                    continue
+                # row starts local to the haloed band; cols global
+                st = starts_g[take].astype(np.int64)
+                st[:, 0] -= k * bh - self.halo
+                starts[k, :nk] = st
+                mask[k, :nk] = True
+                dets[k, :nk] = centers[take]
+                idx[k, :nk] = take
+            canvas, mse, shifts = step(
+                self._variables,
+                shards,
+                jax.device_put(starts, self._banded),
+                jax.device_put(mask, self._banded),
+                jax.device_put(dets, self._banded),
+                self._next_rng(),
+                canvas,
+            )
+            mse_h, shifts_h = jax.device_get((mse, shifts))
+            for k in range(d):
+                for j in np.flatnonzero(idx[k] >= 0):
+                    cols["list_idx"].append(int(idx[k, j]))
+                    cols["galaxy_distances_to_center_x"].append(dets[k, j, 0])
+                    cols["galaxy_distances_to_center_y"].append(dets[k, j, 1])
+                    cols["mse_center"].append(mse_h[k, j])
+                    cols["epistemic_norm"].append(np.float32(0.0))
+                    cols["shifts"].append(shifts_h[k, j])
+                    cols["passed_cuts"].append(
+                        bool(
+                            np.isfinite(mse_h[k, j])
+                            and mse_h[k, j] <= mse_criterion
+                        )
+                    )
+
+        order = np.argsort(np.asarray(cols["list_idx"], np.int64), kind="stable")
+        cols = {k: [v[i] for i in order] for k, v in cols.items()}
+        return cols, canvas, int(valid.sum())
+
+    def _iter_finish_step(self):
+        """One sharded program for the iterative step's tail: fold the new
+        canvas's cross-band strips into their owners (ppermute pair),
+        subtract the model from the running haloed residual, re-exchange
+        the residual halos (second ppermute pair), and emit the global
+        mean-squared step change.  The residual shards stay on device in
+        the same haloed layout the next detect/stream consumes."""
+        if getattr(self, "_iter_finish", None) is not None:
+            return self._iter_finish
+
+        f, bh, halo, pad = self.field_size, self.band_h, self.halo, self.pad
+        strip = halo + pad
+        h_pad = self.h_pad
+        d = self.n_bands_mesh
+
+        def body(res, canvas):
+            res, canvas = res[0], canvas[0]
+            k = jax.lax.axis_index(BAND_AXIS)
+            if d > 1:
+                up = canvas[:strip]
+                down = canvas[bh + strip :]
+                from_below = jax.lax.ppermute(
+                    up, BAND_AXIS, [(j, j - 1) for j in range(1, d)]
+                )
+                from_above = jax.lax.ppermute(
+                    down, BAND_AXIS, [(j, j + 1) for j in range(d - 1)]
+                )
+                canvas = canvas.at[bh : bh + strip].add(from_below)
+                canvas = canvas.at[strip : 2 * strip].add(from_above)
+            # after the fold only the INTERIOR rows [bs, be) hold every
+            # band's contributions (a halo row's owner never sends its own
+            # interior writes here) — subtract interior-only, then rebuild
+            # the halos from the neighbors' now-complete interiors
+            model_int = canvas[strip : strip + bh, pad : pad + f]
+            res_int = res[halo : halo + bh]
+            rows_g = (
+                jax.lax.broadcasted_iota(jnp.int32, (bh, 1, 1), 0) + k * bh
+            )
+            inside = rows_g < f  # bottom band's synthetic rows stay zero
+            new_int = jnp.where(inside, res_int - model_int, 0.0)
+            sq = jax.lax.psum(
+                jnp.sum(jnp.where(inside, jnp.square(model_int), 0.0)),
+                BAND_AXIS,
+            )
+            if d > 1:
+                recv_top = jax.lax.ppermute(
+                    new_int[bh - halo :],
+                    BAND_AXIS,
+                    [(j, j + 1) for j in range(d - 1)],
+                )
+                recv_bot = jax.lax.ppermute(
+                    new_int[:halo],
+                    BAND_AXIS,
+                    [(j, j - 1) for j in range(1, d)],
+                )
+            else:
+                recv_top = jnp.zeros_like(new_int[:halo])
+                recv_bot = jnp.zeros_like(new_int[:halo])
+            new_res = jnp.concatenate([recv_top, new_int, recv_bot], axis=0)
+            return new_res[None], sq[None]
+
+        mapped = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(P(BAND_AXIS), P(BAND_AXIS)),
+            out_specs=(P(BAND_AXIS), P(BAND_AXIS)),
+        )
+        self._iter_finish = jax.jit(mapped, donate_argnums=(0, 1))
+        return self._iter_finish
+
+    def iterative_deblend_and_render(
+        self,
+        galaxy_distances_to_center=None,
+        optimise_positions: bool = False,
+        mse_criterion: float = 100.0,
+        det_cfg=None,
+        max_iterations: int = 20,
+    ):
+        """Sharded detect-subtract-repeat: the running residual stays
+        band-sharded on the mesh between steps; detection tiles, the
+        serving stream and the model subtraction all read/write the
+        sharded residual.  Semantics mirror
+        IterativeDeblendField.iterative_deblend_and_render's cumulative-
+        residual mode: loop while a step finds strictly more sources than
+        the last (reference iterative_deblender.py:58), stop on zero
+        detections, ``max_iterations`` bound; the catalog gains an
+        ``iteration`` column.
+
+        Returns (catalog, residual_field).
+        """
+        f = self.field_size
+        res = self._field_shards()  # haloed layout; consumed by the loop
+        # the memoized cache must survive: the loop donates its residual
+        self._shards = None
+        all_cols: dict[str, list] = {}
+        self.mse: list[float] = []
+        n_prev = 0
+        total = 0
+
+        for it in range(max_iterations):
+            if it == 0 and galaxy_distances_to_center is not None:
+                centers = np.asarray(galaxy_distances_to_center)
+            else:
+                centers = self.detect_objects(det_cfg, shards=res)
+            if len(centers) == 0:
+                print("No more galaxies found")
+                break
+
+            cols, canvas, n_new = self._stream(
+                res, centers, optimise_positions, mse_criterion, None
+            )
+            if n_new == 0:
+                print("No more galaxies found")
+                break
+
+            res, sq = self._iter_finish_step()(res, canvas)
+            self.mse.append(
+                float(np.asarray(sq)[0]) / (f * f * self.nb_of_bands)
+            )
+
+            cols["list_idx"] = [i + total for i in cols["list_idx"]]
+            cols["iteration"] = [it] * n_new
+            for key, vals in cols.items():
+                all_cols.setdefault(key, []).extend(vals)
+            total += n_new
+            print(f"iteration {it + 1}")
+            print(f"{total} galaxies found up to this step.")
+
+            if it > 0 and n_new <= n_prev:
+                break
+            n_prev = n_new
+
+        print("converged !")
+        if total == 0:
+            return None, self.field_image.copy()
+        import pandas as pd
+
+        catalog = pd.DataFrame(all_cols).to_records(index=False)
+        residual_field = self.field_image.copy()
+        # interior rows of each band, reassembled on host
+        interior = jax.jit(
+            jax.shard_map(
+                lambda r: r[0][self.halo : self.halo + self.band_h],
+                mesh=self.mesh,
+                in_specs=(P(BAND_AXIS),),
+                out_specs=P(BAND_AXIS),
+            )
+        )(res)
+        residual_field[0] = np.asarray(jax.device_get(interior))[:f]
+        return catalog, residual_field
+
     def deblend_and_render(
         self,
         galaxy_distances_to_center,
@@ -357,98 +760,22 @@ class ShardedFieldDeblender:
         centers = np.asarray(
             galaxy_distances_to_center, np.float32
         ).reshape(-1, 2)
-        d, bh = self.n_bands_mesh, self.band_h
 
         with stage_timer(t, "upload"):
             shards = self._field_shards()
-
-        starts_g, valid, owner = self._assign(centers)
-        if not valid.all():
-            print(
-                "Some galaxies are too close from the border of the "
-                "field to be considered here."
+        with stage_timer(t, "deblend_render"):
+            cols, canvas, n_deblended = self._stream(
+                shards,
+                centers,
+                optimise_positions,
+                mse_criterion,
+                source_chunk_per_band,
             )
-        per_band: list[np.ndarray] = [
-            np.flatnonzero(valid & (owner == k)) for k in range(d)
-        ]
-        max_len = max((len(ix) for ix in per_band), default=0)
-        self.nb_of_detected_objects.append(len(centers))
-        self.nb_of_deblended_galaxies.append(int(valid.sum()))
-        if max_len == 0:
+        if n_deblended == 0:
             print("No galaxy deblended. End of the iterative procedure.")
             if return_model:
                 return None, self.field_image.copy(), np.zeros((f, f, b), np.float32)
             return None, self.field_image.copy()
-
-        from debvader_tpu.api import _bucket
-
-        m = _bucket(max_len)
-        if source_chunk_per_band or self.cfg.source_chunk:
-            cap = source_chunk_per_band or self.cfg.source_chunk
-            m = min(m, _bucket(cap))
-        n_steps = -(-max_len // m)
-
-        canvas = jnp.zeros(
-            (d, self.h_pad + 2 * self.pad, f + 2 * self.pad, b), jnp.float32
-        )
-        canvas = jax.device_put(canvas, self._banded)
-        step = self._chunk_step(m, bool(optimise_positions))
-
-        cols = {
-            k: []
-            for k in (
-                "shifts",
-                "list_idx",
-                "galaxy_distances_to_center_x",
-                "galaxy_distances_to_center_y",
-                "mse_center",
-                "epistemic_norm",
-                "passed_cuts",
-            )
-        }
-        with stage_timer(t, "deblend_render"):
-            for s0 in range(n_steps):
-                starts = np.zeros((d, m, 2), np.int32)
-                mask = np.zeros((d, m), bool)
-                dets = np.zeros((d, m, 2), np.float32)
-                idx = np.full((d, m), -1, np.int64)
-                for k in range(d):
-                    take = per_band[k][s0 * m : (s0 + 1) * m]
-                    nk = len(take)
-                    if nk == 0:
-                        continue
-                    # row starts local to the haloed band; cols global
-                    st = starts_g[take].astype(np.int64)
-                    st[:, 0] -= k * bh - self.halo
-                    starts[k, :nk] = st
-                    mask[k, :nk] = True
-                    dets[k, :nk] = centers[take]
-                    idx[k, :nk] = take
-                canvas, mse, shifts = step(
-                    self._variables,
-                    shards,
-                    jax.device_put(starts, self._banded),
-                    jax.device_put(mask, self._banded),
-                    jax.device_put(dets, self._banded),
-                    self._next_rng(),
-                    canvas,
-                )
-                mse_h, shifts_h = jax.device_get((mse, shifts))
-                for k in range(d):
-                    sel = np.flatnonzero(idx[k] >= 0)
-                    for j in sel:
-                        cols["list_idx"].append(int(idx[k, j]))
-                        cols["galaxy_distances_to_center_x"].append(dets[k, j, 0])
-                        cols["galaxy_distances_to_center_y"].append(dets[k, j, 1])
-                        cols["mse_center"].append(mse_h[k, j])
-                        cols["epistemic_norm"].append(np.float32(0.0))
-                        cols["shifts"].append(shifts_h[k, j])
-                        cols["passed_cuts"].append(
-                            bool(
-                                np.isfinite(mse_h[k, j])
-                                and mse_h[k, j] <= mse_criterion
-                            )
-                        )
 
         with stage_timer(t, "field_download"):
             resid_s, model_s = self._finish_step()(shards, canvas)
@@ -461,8 +788,6 @@ class ShardedFieldDeblender:
 
         import pandas as pd
 
-        order = np.argsort(np.asarray(cols["list_idx"], np.int64), kind="stable")
-        cols = {k: [v[i] for i in order] for k, v in cols.items()}
         catalog = pd.DataFrame(cols).to_records(index=False)
         residual_field = self.field_image.copy()
         residual_field[0] = resid

@@ -43,7 +43,33 @@ def run(field_size: int, n_src: int, full_field: bool):
     lo = -(field_size // 2) + s
     hi = field_size // 2 - s
     dets = rng.uniform(lo, hi, size=(n_src, 2)).astype(np.float32)
-    preds = rng.random((n_src, s, s)).astype(np.float32)
+    # physical workload: Gaussian sources planted at det + a sub-pixel
+    # residual, so the two solvers chase the same well-defined minimum
+    # (random preds on noise give a flat objective where float noise picks
+    # arbitrary bound-clipped fixed points)
+    yy, xx = np.mgrid[:s, :s].astype(np.float32)
+    preds = np.stack(
+        [
+            a * np.exp(-((yy - s // 2) ** 2 + (xx - s // 2) ** 2) / (2 * sig**2))
+            for a, sig in zip(
+                rng.uniform(1, 3, n_src), rng.uniform(1.5, 4.0, n_src)
+            )
+        ]
+    ).astype(np.float32)
+    resid_true = rng.uniform(-1.5, 1.5, size=(n_src, 2)).astype(np.float32)
+    pos0 = (field_size - s) // 2
+    for p, d, r in zip(preds, dets, resid_true):
+        iy, ix = int(np.floor(d[0] + r[0])), int(np.floor(d[1] + r[1]))
+        fy, fx = d[0] + r[0] - iy, d[1] + r[1] - ix
+        pp = np.zeros((s + 1, s + 1), np.float32)
+        pp[:s, :s] = p
+        sh = (
+            fy * np.roll(pp, 1, 0) + (1 - fy) * pp
+        )
+        sh = fx * np.roll(sh, 1, 1) + (1 - fx) * sh
+        y0, x0 = pos0 + iy, pos0 + ix
+        if 0 <= y0 and y0 + s + 1 <= field_size and 0 <= x0 and x0 + s + 1 <= field_size:
+            field[y0 : y0 + s + 1, x0 : x0 + s + 1] += sh
 
     field_d = jnp.asarray(field)
     preds_d = jnp.asarray(preds)

@@ -307,3 +307,47 @@ def test_render_field_rectangular(rng_np):
     )
     # row pos0 moves by (31-5)//2 - (21-5)//2 = 5
     np.testing.assert_allclose(tall[5:26], sq, atol=1e-6)
+
+
+def test_position_optimization_windowed_crowded_scene(rng_np):
+    """Heavily overlapping sources: Gauss-Newton is chaotic near knots, so
+    this pins the one-sided-derivative convention at integer shifts (the
+    GN start) — with the ceil-1 decomposition the windowed solver tracks
+    the full-field iterates through all 20 iterations even when every
+    pixel lies under many blobs."""
+    from debvader_tpu.ops.registration import (
+        position_optimization_batch_windowed,
+    )
+
+    f, s, n = 121, 31, 24
+    yy, xx = np.mgrid[:s, :s].astype(np.float32)
+    preds = np.stack(
+        [
+            a * np.exp(-((yy - s // 2) ** 2 + (xx - s // 2) ** 2) / (2 * g**2))
+            for a, g in zip(
+                rng_np.uniform(1, 3, n), rng_np.uniform(1.5, 3.0, n)
+            )
+        ]
+    ).astype(np.float32)
+    lo, hi = -(f // 2) + s, f // 2 - s
+    dets = rng_np.uniform(lo, hi, size=(n, 2)).astype(np.float32)
+    field = (0.01 * rng_np.normal(size=(f, f))).astype(np.float32)
+    pos0 = (f - s) // 2
+    for p, d in zip(preds, dets):
+        padded = np.zeros((f, f), np.float32)
+        padded[pos0 : pos0 + s, pos0 : pos0 + s] = p
+        field += scipy.ndimage.shift(
+            padded, d + rng_np.uniform(-1.2, 1.2, 2), order=1
+        ).astype(np.float32)
+
+    full = np.asarray(
+        position_optimization_batch(
+            jnp.asarray(field), jnp.asarray(preds), jnp.asarray(dets)
+        )
+    )
+    windowed = np.asarray(
+        position_optimization_batch_windowed(
+            jnp.asarray(field), jnp.asarray(preds), jnp.asarray(dets)
+        )
+    )
+    np.testing.assert_allclose(windowed, full, atol=1e-4)
