@@ -110,6 +110,7 @@ class ShardedFieldDeblender:
         mesh,
         cutout_size: int = 59,
         nb_of_bands: int = 6,
+        epistemic_uncertainty_estimation: bool = False,
         normalise: bool = False,
         cfg: PipelineConfig | None = None,
         rng: jax.Array | None = None,
@@ -124,6 +125,7 @@ class ShardedFieldDeblender:
         self.field_size = int(self.field_image.shape[1])
         self.cutout_size = cutout_size
         self.nb_of_bands = nb_of_bands
+        self.epistemic_uncertainty_estimation = epistemic_uncertainty_estimation
         self.normalise = normalise
         self.cfg = cfg or PipelineConfig(
             cutout_size=cutout_size, nb_of_bands=nb_of_bands
@@ -212,12 +214,24 @@ class ShardedFieldDeblender:
         return starts, valid, owner
 
     # ------------------------------------------------------------- kernels
-    def _chunk_step(self, m: int, optimise: bool):
+    def _chunk_step(
+        self,
+        m: int,
+        optimise: bool,
+        epistemic: bool = False,
+        render_std: bool = False,
+        render_epi: bool = False,
+        measure: bool = False,
+    ):
         """The jitted sharded chunk program for per-device bucket m:
-        gather -> forward -> mse -> (windowed registration) -> render, all
-        band-local, canvas donated across chunks."""
-        if (m, optimise) in self._steps:
-            return self._steps[(m, optimise)]
+        gather -> forward -> mse -> (epistemic Welford stats) ->
+        (windowed registration) -> render into the mean (and optional
+        aleatoric-std / epistemic) canvases, all band-local, canvases
+        donated across chunks.  Scalars (mse, shifts, epi_norm, optional
+        measurements) come back (D, m)-sharded."""
+        key = (m, optimise, epistemic, render_std, render_epi, measure)
+        if key in self._steps:
+            return self._steps[key]
 
         cs, b = self.cutout_size, self.nb_of_bands
         f, bh, halo, h_pad = self.field_size, self.band_h, self.halo, self.h_pad
@@ -232,10 +246,12 @@ class ShardedFieldDeblender:
         # interpolation fractions match the single-device path exactly
         base_delta = (f - cs) // 2 - (h_pad - cs) // 2 + halo
 
-        def body(variables, band, starts, mask, dets, rng, canvas):
+        n_epi = self.cfg.epistemic_samples
+
+        def body(variables, band, starts, mask, dets, rng, canvases):
             band = band[0]
             starts, mask, dets = starts[0], mask[0], dets[0]
-            canvas = canvas[0]
+            canvases = jax.tree_util.tree_map(lambda c: c[0], canvases)
             k = jax.lax.axis_index(BAND_AXIS)
             rng = jax.random.fold_in(rng, k)
             delta = jnp.asarray(
@@ -258,11 +274,33 @@ class ShardedFieldDeblender:
 
                 dist = denormalize_distribution(dist)
             means = dist.mean()
+            std_dev = dist.stddev() if (render_std or measure) else None
 
             mse = jnp.mean(
                 jnp.square(raw[:, c0:c1, c0:c1] - means[:, c0:c1, c0:c1]),
                 axis=(1, 2, 3),
             )
+
+            scalars = {"mse_center": mse}
+            epi = None
+            if epistemic:
+                from debvader_tpu.api import deblend_sample_stats
+
+                # band-local epistemic fan-out: deblend_sample_stats's
+                # jitted internals inline under shard_map (static chunk
+                # counts), accumulating Welford stats on this device only
+                _, epi = deblend_sample_stats(
+                    (model, variables),
+                    x,
+                    n_samples=n_epi,
+                    rng=jax.random.fold_in(rng, 1),
+                    normalise=normalise,
+                )
+                scalars["epistemic_norm"] = epi[..., det_band].sum(
+                    axis=(1, 2)
+                ) / jnp.maximum(means[..., det_band].sum(axis=(1, 2)), 1e-30)
+            else:
+                scalars["epistemic_norm"] = jnp.zeros((m,), jnp.float32)
 
             dets_local = dets + delta
             if optimise:
@@ -281,17 +319,27 @@ class ShardedFieldDeblender:
                 )
             else:
                 shifts = jnp.zeros((m, 2), jnp.float32)
+            scalars["shifts"] = shifts
 
-            canvas = render_field(
-                means,
-                dets_local + shifts,
-                (h_pad, f),
-                mask=mask,
-                order=order,
-                canvas=canvas,
-                crop=False,
+            if measure:
+                from debvader_tpu.ops.measure import measure_batch
+
+                scalars.update(measure_batch(means, std_dev))
+
+            offs = dets_local + shifts
+            render = lambda stamps, cv: render_field(  # noqa: E731
+                stamps, offs, (h_pad, f), mask=mask, order=order,
+                canvas=cv, crop=False,
             )
-            return canvas[None], mse[None], shifts[None]
+            canvases = dict(canvases)
+            canvases["mean"] = render(means, canvases["mean"])
+            if render_std:
+                canvases["std"] = render(std_dev, canvases["std"])
+            if render_epi:
+                canvases["epi"] = render(epi, canvases["epi"])
+            canvases = jax.tree_util.tree_map(lambda c: c[None], canvases)
+            scalars = jax.tree_util.tree_map(lambda s: s[None], scalars)
+            return canvases, scalars
 
         mapped = jax.shard_map(
             body,
@@ -303,12 +351,12 @@ class ShardedFieldDeblender:
                 P(BAND_AXIS),  # mask
                 P(BAND_AXIS),  # dets
                 P(),  # rng
-                P(BAND_AXIS),  # canvas
+                P(BAND_AXIS),  # canvases
             ),
-            out_specs=(P(BAND_AXIS), P(BAND_AXIS), P(BAND_AXIS)),
+            out_specs=(P(BAND_AXIS), P(BAND_AXIS)),
         )
         step = jax.jit(mapped, donate_argnums=(6,))
-        self._steps[(m, optimise)] = step
+        self._steps[key] = step
         return step
 
     def _finish_step(self):
@@ -347,6 +395,120 @@ class ShardedFieldDeblender:
         )
         self._finish = jax.jit(mapped, donate_argnums=(1,))
         return self._finish
+
+    def _crop_step(self):
+        """Fold one canvas's cross-band strips and emit its band-local
+        field crop (the predicted-field canvases: std / epistemic)."""
+        if getattr(self, "_crop", None) is not None:
+            return self._crop
+
+        f, bh, halo, pad = self.field_size, self.band_h, self.halo, self.pad
+        strip = halo + pad
+        d = self.n_bands_mesh
+
+        def body(canvas):
+            canvas = canvas[0]
+            if d > 1:
+                up = canvas[:strip]
+                down = canvas[bh + strip :]
+                from_below = jax.lax.ppermute(
+                    up, BAND_AXIS, [(k, k - 1) for k in range(1, d)]
+                )
+                from_above = jax.lax.ppermute(
+                    down, BAND_AXIS, [(k, k + 1) for k in range(d - 1)]
+                )
+                canvas = canvas.at[bh : bh + strip].add(from_below)
+                canvas = canvas.at[strip : 2 * strip].add(from_above)
+            return canvas[strip : strip + bh, pad : pad + f]
+
+        mapped = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(P(BAND_AXIS),),
+            out_specs=P(BAND_AXIS),
+        )
+        self._crop = jax.jit(mapped, donate_argnums=(0,))
+        return self._crop
+
+    def deblend_and_predict(
+        self,
+        galaxy_distances_to_center,
+        optimise_positions: bool = False,
+        epistemic_criterion: float = 100.0,
+        mse_criterion: float = 100.0,
+        measure: bool = False,
+        timings=None,
+    ):
+        """Sharded analogue of DeblendField.deblend_and_predict: the mean,
+        per-pixel aleatoric-stddev and (with
+        ``epistemic_uncertainty_estimation=True``) epistemic canvases
+        accumulate band-sharded inside the same chunk stream; each derived
+        field folds its strips and downloads band-local.
+
+        Returns ``(catalog, fields)`` with the single-chip driver's dict
+        schema ('residual_field', 'predicted_mean_field',
+        'predicted_stddev_field', 'predicted_epistemic_field')."""
+        from debvader_tpu.utils.profiling import stage_timer
+
+        want_epi = self.epistemic_uncertainty_estimation
+        t = timings if timings is not None else {}
+        self.serving_timings = t
+        f, b = self.field_size, self.nb_of_bands
+        centers = np.asarray(
+            galaxy_distances_to_center, np.float32
+        ).reshape(-1, 2)
+
+        with stage_timer(t, "upload"):
+            shards = self._field_shards()
+        with stage_timer(t, "deblend_render"):
+            cols, canvases, n_deblended = self._stream(
+                shards,
+                centers,
+                optimise_positions,
+                mse_criterion,
+                None,
+                epistemic_criterion=epistemic_criterion,
+                measure=measure,
+                render_std=True,
+                render_epi=want_epi,
+            )
+        if n_deblended == 0:
+            print("No galaxy deblended. End of the iterative procedure.")
+            zero = np.zeros((f, f, b), np.float32)
+            return None, {
+                "residual_field": self.field_image.copy(),
+                "predicted_mean_field": zero,
+                "predicted_stddev_field": zero.copy(),
+                "predicted_epistemic_field": zero.copy() if want_epi else None,
+            }
+
+        with stage_timer(t, "field_download"):
+            # one derived field at a time, band-local downloads
+            std_f = np.asarray(
+                jax.device_get(self._crop_step()(canvases["std"]))
+            )[:f]
+            epi_f = (
+                np.asarray(
+                    jax.device_get(self._crop_step()(canvases["epi"]))
+                )[:f]
+                if want_epi
+                else None
+            )
+            resid_s, model_s = self._finish_step()(shards, canvases["mean"])
+            resid, mean_f = jax.device_get((resid_s, model_s))
+            resid, mean_f = resid[:f], mean_f[:f]
+
+        import pandas as pd
+
+        catalog = pd.DataFrame(cols).to_records(index=False)
+        residual_field = self.field_image.copy()
+        residual_field[0] = resid
+        return catalog, {
+            "residual_field": residual_field,
+            "predicted_mean_field": mean_f,
+            "predicted_stddev_field": std_f,
+            "predicted_epistemic_field": epi_f,
+        }
 
     # ----------------------------------------------------------- detection
     def detect_objects(
@@ -490,12 +652,21 @@ class ShardedFieldDeblender:
         optimise_positions: bool,
         mse_criterion: float,
         source_chunk_per_band: int | None,
+        epistemic_criterion: float = 100.0,
+        measure: bool = False,
+        render_std: bool = False,
+        render_epi: bool = False,
     ):
         """Chunk-streamed extract -> forward -> register -> render against
         the given haloed shards.  Returns (cols dict sorted by list_idx,
-        padded sharded canvas | None, n_deblended)."""
+        dict of padded sharded canvases | None, n_deblended)."""
         f, b = self.field_size, self.nb_of_bands
         d, bh = self.n_bands_mesh, self.band_h
+        epistemic = self.epistemic_uncertainty_estimation
+        if render_epi and not epistemic:
+            raise ValueError(
+                "render_epi=True requires epistemic_uncertainty_estimation"
+            )
 
         starts_g, valid, owner = self._assign(centers)
         if not valid.all():
@@ -521,6 +692,9 @@ class ShardedFieldDeblender:
                 "passed_cuts",
             )
         }
+        if measure:
+            for k in ("flux", "centroid", "ellipticity", "snr"):
+                cols[k] = []
         if max_len == 0:
             return cols, None, 0
 
@@ -532,11 +706,28 @@ class ShardedFieldDeblender:
             m = min(m, _bucket(cap))
         n_steps = -(-max_len // m)
 
-        canvas = jnp.zeros(
-            (d, self.h_pad + 2 * self.pad, f + 2 * self.pad, b), jnp.float32
+        def fresh_canvas():
+            return jax.device_put(
+                jnp.zeros(
+                    (d, self.h_pad + 2 * self.pad, f + 2 * self.pad, b),
+                    jnp.float32,
+                ),
+                self._banded,
+            )
+
+        canvases = {"mean": fresh_canvas()}
+        if render_std:
+            canvases["std"] = fresh_canvas()
+        if render_epi:
+            canvases["epi"] = fresh_canvas()
+        step = self._chunk_step(
+            m,
+            bool(optimise_positions),
+            epistemic=epistemic,
+            render_std=render_std,
+            render_epi=render_epi,
+            measure=measure,
         )
-        canvas = jax.device_put(canvas, self._banded)
-        step = self._chunk_step(m, bool(optimise_positions))
 
         for s0 in range(n_steps):
             starts = np.zeros((d, m, 2), np.int32)
@@ -555,34 +746,41 @@ class ShardedFieldDeblender:
                 mask[k, :nk] = True
                 dets[k, :nk] = centers[take]
                 idx[k, :nk] = take
-            canvas, mse, shifts = step(
+            canvases, scalars = step(
                 self._variables,
                 shards,
                 jax.device_put(starts, self._banded),
                 jax.device_put(mask, self._banded),
                 jax.device_put(dets, self._banded),
                 self._next_rng(),
-                canvas,
+                canvases,
             )
-            mse_h, shifts_h = jax.device_get((mse, shifts))
+            got = jax.device_get(scalars)
             for k in range(d):
                 for j in np.flatnonzero(idx[k] >= 0):
+                    mse_kj = got["mse_center"][k, j]
+                    epi_kj = got["epistemic_norm"][k, j]
                     cols["list_idx"].append(int(idx[k, j]))
                     cols["galaxy_distances_to_center_x"].append(dets[k, j, 0])
                     cols["galaxy_distances_to_center_y"].append(dets[k, j, 1])
-                    cols["mse_center"].append(mse_h[k, j])
-                    cols["epistemic_norm"].append(np.float32(0.0))
-                    cols["shifts"].append(shifts_h[k, j])
+                    cols["mse_center"].append(mse_kj)
+                    cols["epistemic_norm"].append(epi_kj)
+                    cols["shifts"].append(got["shifts"][k, j])
                     cols["passed_cuts"].append(
                         bool(
-                            np.isfinite(mse_h[k, j])
-                            and mse_h[k, j] <= mse_criterion
+                            np.isfinite(mse_kj)
+                            and np.isfinite(epi_kj)
+                            and mse_kj <= mse_criterion
+                            and epi_kj <= epistemic_criterion
                         )
                     )
+                    if measure:
+                        for key in ("flux", "centroid", "ellipticity", "snr"):
+                            cols[key].append(got[key][k, j])
 
         order = np.argsort(np.asarray(cols["list_idx"], np.int64), kind="stable")
         cols = {k: [v[i] for i in order] for k, v in cols.items()}
-        return cols, canvas, int(valid.sum())
+        return cols, canvases, int(valid.sum())
 
     def _iter_finish_step(self):
         """One sharded program for the iterative step's tail: fold the new
@@ -658,7 +856,9 @@ class ShardedFieldDeblender:
         self,
         galaxy_distances_to_center=None,
         optimise_positions: bool = False,
+        epistemic_criterion: float = 100.0,
         mse_criterion: float = 100.0,
+        measure: bool = False,
         det_cfg=None,
         max_iterations: int = 20,
     ):
@@ -692,14 +892,15 @@ class ShardedFieldDeblender:
                 print("No more galaxies found")
                 break
 
-            cols, canvas, n_new = self._stream(
-                res, centers, optimise_positions, mse_criterion, None
+            cols, canvases, n_new = self._stream(
+                res, centers, optimise_positions, mse_criterion, None,
+                epistemic_criterion=epistemic_criterion, measure=measure,
             )
             if n_new == 0:
                 print("No more galaxies found")
                 break
 
-            res, sq = self._iter_finish_step()(res, canvas)
+            res, sq = self._iter_finish_step()(res, canvases["mean"])
             self.mse.append(
                 float(np.asarray(sq)[0]) / (f * f * self.nb_of_bands)
             )
@@ -739,18 +940,22 @@ class ShardedFieldDeblender:
         self,
         galaxy_distances_to_center,
         optimise_positions: bool = False,
+        epistemic_criterion: float = 100.0,
         mse_criterion: float = 100.0,
+        measure: bool = False,
         return_model: bool = False,
         source_chunk_per_band: int | None = None,
         timings=None,
     ):
         """Catalog + residual with every full-field buffer sharded.
 
-        Matches DeblendField.deblend_and_render's products (catalog minus
-        the epistemic column semantics — epistemic_norm is 0 as when
-        epistemic estimation is off) with identical extraction, forward,
-        registration and render math per source; the band-parallel chunk
-        loop changes only float summation order.
+        Matches DeblendField.deblend_and_render's products — catalog
+        scalars (incl. band-local epistemic sampling when the pipeline was
+        built with ``epistemic_uncertainty_estimation=True`` and the
+        ``measure=True`` photometry columns) and residual/model fields —
+        with identical extraction, forward, registration and render math
+        per source; the band-parallel chunk loop changes only float
+        summation order.
         """
         from debvader_tpu.utils.profiling import stage_timer
 
@@ -764,12 +969,14 @@ class ShardedFieldDeblender:
         with stage_timer(t, "upload"):
             shards = self._field_shards()
         with stage_timer(t, "deblend_render"):
-            cols, canvas, n_deblended = self._stream(
+            cols, canvases, n_deblended = self._stream(
                 shards,
                 centers,
                 optimise_positions,
                 mse_criterion,
                 source_chunk_per_band,
+                epistemic_criterion=epistemic_criterion,
+                measure=measure,
             )
         if n_deblended == 0:
             print("No galaxy deblended. End of the iterative procedure.")
@@ -778,7 +985,7 @@ class ShardedFieldDeblender:
             return None, self.field_image.copy()
 
         with stage_timer(t, "field_download"):
-            resid_s, model_s = self._finish_step()(shards, canvas)
+            resid_s, model_s = self._finish_step()(shards, canvases["mean"])
             if return_model:
                 resid, model_f = jax.device_get((resid_s, model_s))
                 model_f = model_f[:f]

@@ -99,9 +99,15 @@ def main():
     # cross the host link.  BENCH_TRANSFER_DTYPE=bfloat16 halves the final
     # field download (the dominant byte cost at 8k+).
     tdtype = os.environ.get("BENCH_TRANSFER_DTYPE") or None
+    # BENCH_OPTIMISE_POSITIONS=1 runs the serve with per-source subpixel
+    # registration (windowed Gauss-Newton) — viable at survey scale since
+    # the O(win^2) windowed solver (scripts/bench_register.py)
+    optimise = bool(os.environ.get("BENCH_OPTIMISE_POSITIONS"))
     cat_res = stage(
         "deblend_and_render",
-        lambda: tdf.deblend_and_render(centers, transfer_dtype=tdtype),
+        lambda: tdf.deblend_and_render(
+            centers, optimise_positions=optimise, transfer_dtype=tdtype
+        ),
     )
     print(f"  catalog rows: {len(cat_res[0])}", flush=True)
     print(

@@ -238,3 +238,62 @@ def test_sharded_iterative_detects_and_terminates(tiny_net):
     assert cat is not None and "iteration" in cat.dtype.names
     assert res.shape == field.shape and np.isfinite(res).all()
     assert len(sf.mse) >= 1
+
+
+def test_sharded_measure_matches_single_device(tiny_net):
+    field, centers = _field(seed=11)
+    df = DeblendField(
+        tiny_net, field, cutout_size=CS, nb_of_bands=B, cfg=_cfg(),
+        z_mode="mean",
+    )
+    cat_s, _ = df.deblend_and_render(centers, measure=True)
+    sf = ShardedFieldDeblender(
+        tiny_net, field, _mesh(), cutout_size=CS, nb_of_bands=B, cfg=_cfg(),
+        z_mode="mean",
+    )
+    cat_p, _ = sf.deblend_and_render(centers, measure=True)
+    for col in ("flux", "snr"):
+        np.testing.assert_allclose(
+            np.stack(list(cat_p[col])), np.stack(list(cat_s[col])), rtol=1e-4
+        )
+
+
+def test_sharded_predict_matches_single_device(tiny_net):
+    """Deterministic products (mean + aleatoric-stddev canvases, residual)
+    must match the single-chip deblend_and_predict; the epistemic canvas is
+    sampling-based so it is checked statistically (finite, nonnegative,
+    nonzero under the stamps)."""
+    field, centers = _field(seed=13)
+    df = DeblendField(
+        tiny_net, field, cutout_size=CS, nb_of_bands=B, cfg=_cfg(),
+        z_mode="mean", epistemic_uncertainty_estimation=True,
+    )
+    _, fields_s = df.deblend_and_predict(centers)
+    sf = ShardedFieldDeblender(
+        tiny_net, field, _mesh(), cutout_size=CS, nb_of_bands=B, cfg=_cfg(),
+        z_mode="mean", epistemic_uncertainty_estimation=True,
+    )
+    cat_p, fields_p = sf.deblend_and_predict(centers)
+    np.testing.assert_allclose(
+        fields_p["predicted_mean_field"],
+        fields_s["predicted_mean_field"],
+        atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        fields_p["predicted_stddev_field"],
+        fields_s["predicted_stddev_field"],
+        atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        fields_p["residual_field"], fields_s["residual_field"], atol=2e-5
+    )
+    # epistemic is sampling-based (independent draws per path) — compare
+    # statistically.  NB the canvas CAN dip slightly negative: the order-3
+    # spline render overshoots at stamp edges, single-chip path included.
+    epi = fields_p["predicted_epistemic_field"]
+    epi_s = fields_s["predicted_epistemic_field"]
+    assert epi is not None and np.isfinite(epi).all()
+    assert epi.max() > 0
+    np.testing.assert_allclose(epi.sum(), epi_s.sum(), rtol=0.5)
+    norms = np.asarray(cat_p.epistemic_norm, np.float32)
+    assert np.isfinite(norms).all() and (norms > 0).all()
