@@ -1,0 +1,363 @@
+"""Command-line entry points: ``python -m debvader_tpu <command>``.
+
+The reference ships no CLI (SURVEY.md §5 config row: configuration is
+function kwargs only); a production framework needs runnable entry points
+for the standard tasks, so this maps the public API onto argparse
+subcommands with the reference's defaults:
+
+- ``deblend``          stamps .npy -> mean (and optional stddev) .npy
+- ``detect``           field .npy -> (N, 2) center offsets .npy
+- ``serve``            field .npy [+ centers] -> catalog .csv + residual .npy
+- ``train``            two-stage transfer training on (blended, isolated) .npy
+- ``export``           weights -> jax.export StableHLO artifact
+- ``import-weights``   reference TF checkpoint -> native weights dir
+
+Every command accepts ``--weights`` as either a survey name resolved from
+the packaged data ('sim_demo'; 'dc2' once the full reference checkpoint is
+materialized) or a directory written by ``train``/``save_weights``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["main"]
+
+
+def _model_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--stamp-size", type=int, default=59)
+    p.add_argument("--bands", type=int, default=6)
+    p.add_argument("--latent", type=int, default=32)
+    p.add_argument(
+        "--filters", type=int, nargs="+", default=[32, 64, 128, 256]
+    )
+    p.add_argument(
+        "--dtype", default="float32", choices=["float32", "bfloat16"],
+        help="compute dtype for the forward (bfloat16 for serving throughput)",
+    )
+
+
+def _load_net(args):
+    from debvader_tpu.training.checkpoint import (
+        load_deblender,
+        load_weights_from,
+    )
+
+    shape = (args.stamp_size, args.stamp_size, args.bands)
+    kernels = (3,) * len(args.filters)
+    if args.weights and Path(args.weights).exists():
+        from debvader_tpu.config import ModelConfig
+        from debvader_tpu.models.vae import DeblenderVAE
+
+        model = DeblenderVAE(
+            ModelConfig(
+                stamp_size=args.stamp_size,
+                nb_of_bands=args.bands,
+                latent_dim=args.latent,
+                filters=tuple(args.filters),
+                kernels=kernels,
+                dtype=args.dtype,
+            )
+        )
+        return model, load_weights_from(args.weights)
+    return load_deblender(
+        args.weights or "sim_demo",
+        input_shape=shape,
+        latent_dim=args.latent,
+        filters=tuple(args.filters),
+        kernels=kernels,
+        dtype=args.dtype,
+    )
+
+
+def _load_field(path: str) -> np.ndarray:
+    field = np.load(path)
+    if field.ndim == 3:
+        field = field[None]
+    return field.astype(np.float32)
+
+
+def _det_cfg(args):
+    from debvader_tpu.config import DetectionConfig
+
+    kw = {}
+    if args.thresh is not None:
+        kw["thresh"] = args.thresh
+    if getattr(args, "detection_band", None) is not None:
+        kw["detection_band"] = args.detection_band
+    return DetectionConfig(**kw)
+
+
+def _cmd_deblend(args) -> int:
+    from debvader_tpu.api import deblend
+
+    net = _load_net(args)
+    stamps = np.load(args.stamps)
+    if stamps.ndim == 3:
+        stamps = stamps[None]
+    means, dist = deblend(net, stamps, normalise=args.normalise)
+    np.save(args.out, means)
+    print(f"wrote {args.out}: {means.shape}")
+    if args.std:
+        std = np.asarray(dist.stddev())
+        np.save(args.std, std)
+        print(f"wrote {args.std}: {std.shape}")
+    return 0
+
+
+def _cmd_detect(args) -> int:
+    from debvader_tpu.pipeline.tiles import detect_objects_tiled
+
+    field = _load_field(args.field)
+    centers = detect_objects_tiled(
+        field, _det_cfg(args), tile=args.tile, overlap=args.overlap
+    )
+    np.save(args.out, centers)
+    print(f"wrote {args.out}: {len(centers)} detections")
+    return 0
+
+
+def _cmd_serve(args) -> int:
+    net = _load_net(args)
+    field = _load_field(args.field)
+
+    kw = dict(
+        cutout_size=args.stamp_size,
+        nb_of_bands=args.bands,
+        normalise=args.normalise,
+    )
+    timings: dict = {}
+    if args.iterative:
+        from debvader_tpu.pipeline.iterative import IterativeDeblendField
+
+        df = IterativeDeblendField(net, field, **kw)
+        catalog, residual = df.iterative_deblend_and_render(
+            _load_centers(args),
+            optimise_positions=args.optimise_positions,
+            measure=args.measure,
+            det_cfg=_det_cfg(args),
+            transfer_dtype=args.transfer_dtype,
+        )
+    else:
+        from debvader_tpu.pipeline.field import DeblendField
+        from debvader_tpu.pipeline.tiles import detect_objects_tiled
+
+        centers = _load_centers(args)
+        if centers is None:
+            centers = detect_objects_tiled(
+                field, _det_cfg(args), tile=args.tile, overlap=args.overlap
+            )
+            print(f"detected {len(centers)} sources")
+        df = DeblendField(net, field, **kw)
+        catalog, residual = df.deblend_and_render(
+            centers,
+            optimise_positions=args.optimise_positions,
+            measure=args.measure,
+            timings=timings,
+            transfer_dtype=args.transfer_dtype,
+        )
+    if catalog is None:
+        print("no sources deblended")
+        return 1
+    np.save(f"{args.out_prefix}_residual.npy", residual)
+    _write_catalog(catalog, f"{args.out_prefix}_catalog.csv")
+    print(
+        f"wrote {args.out_prefix}_catalog.csv ({len(catalog)} rows) and "
+        f"{args.out_prefix}_residual.npy"
+        + (
+            "  stages: "
+            + " ".join(f"{k}={v:.2f}s" for k, v in timings.items())
+            if timings
+            else ""
+        )
+    )
+    return 0
+
+
+def _load_centers(args):
+    return np.load(args.centers) if args.centers else None
+
+
+def _write_catalog(catalog, path: str) -> None:
+    import pandas as pd
+
+    df = pd.DataFrame.from_records(catalog)
+    # vector columns (shifts, centroid, ...) -> one column per component
+    for col in list(df.columns):
+        first = df[col].iloc[0] if len(df) else None
+        if isinstance(first, np.ndarray) and first.ndim >= 1:
+            arr = np.stack(list(df[col]))
+            flat = arr.reshape(len(df), -1)
+            for i in range(flat.shape[1]):
+                df[f"{col}_{i}"] = flat[:, i]
+            del df[col]
+    df.to_csv(path, index=False)
+
+
+def _cmd_train(args) -> int:
+    from debvader_tpu.config import ModelConfig
+    from debvader_tpu.training.checkpoint import save_weights
+    from debvader_tpu.training.train import train_deblender
+
+    model_cfg = ModelConfig(
+        stamp_size=args.stamp_size,
+        nb_of_bands=args.bands,
+        latent_dim=args.latent,
+        filters=tuple(args.filters),
+        kernels=(3,) * len(args.filters),
+        dtype=args.dtype,
+    )
+
+    x = np.load(args.blended).astype(np.float32)
+    y = np.load(args.isolated).astype(np.float32)
+    n_val = max(int(len(x) * args.val_fraction), 1)
+    mesh = None
+    if args.mesh:
+        from debvader_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh)
+    hist_vae, hist_debl, state, _model = train_deblender(
+        args.survey,
+        args.from_survey,
+        args.epochs,
+        training_data_vae=(x[n_val:], y[n_val:]),
+        validation_data_vae=(x[:n_val], y[:n_val]),
+        training_data_deblender=(x[n_val:], y[n_val:]),
+        validation_data_deblender=(x[:n_val], y[:n_val]),
+        batch_size=args.batch_size,
+        nb_of_bands=args.bands,
+        verbose=1,
+        mesh=mesh,
+        metrics_log=args.metrics_log,
+        model_cfg=model_cfg,
+    )
+    save_weights(
+        args.out, {"params": state.params, "batch_stats": state.batch_stats}
+    )
+    print(
+        f"wrote {args.out}  (final val loss: "
+        f"vae={hist_vae['val_loss'][-1]:.4g} "
+        f"deblender={hist_debl['val_loss'][-1]:.4g})"
+    )
+    return 0
+
+
+def _cmd_export(args) -> int:
+    from debvader_tpu.utils.export import export_deblender
+
+    model, variables = _load_net(args)
+    blob = export_deblender(
+        model, variables, batch_size=args.batch, path=args.out
+    )
+    print(f"wrote {args.out} ({len(blob)} bytes of StableHLO)")
+    return 0
+
+
+def _cmd_import_weights(args) -> int:
+    from debvader_tpu.training.checkpoint import save_weights
+    from debvader_tpu.utils.weight_import import import_reference_checkpoint
+
+    variables = import_reference_checkpoint(args.ckpt, strict=not args.partial)
+    save_weights(args.out, variables)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="debvader_tpu", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    from debvader_tpu import __version__
+
+    parser.add_argument(
+        "--version", action="version", version=f"debvader_tpu {__version__}"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("deblend", help="batched stamp deblending")
+    _model_flags(p)
+    p.add_argument("--weights", help="survey name or weights dir (default sim_demo)")
+    p.add_argument("--stamps", required=True, help="(N, S, S, B) .npy")
+    p.add_argument("--out", required=True, help="output means .npy")
+    p.add_argument("--std", help="also write the per-pixel stddev .npy")
+    p.add_argument("--normalise", action="store_true")
+    p.set_defaults(fn=_cmd_deblend)
+
+    p = sub.add_parser("detect", help="tiled source detection")
+    p.add_argument("--field", required=True, help="(F, F, B) or (1,F,F,B) .npy")
+    p.add_argument("--out", required=True, help="output centers .npy")
+    p.add_argument("--tile", type=int, default=1024)
+    p.add_argument("--overlap", type=int, default=64)
+    p.add_argument("--thresh", type=float, default=None)
+    p.add_argument("--detection-band", type=int, default=None)
+    p.set_defaults(fn=_cmd_detect)
+
+    p = sub.add_parser(
+        "serve", help="catalog + residual serving (detects when no centers given)"
+    )
+    _model_flags(p)
+    p.add_argument("--weights")
+    p.add_argument("--field", required=True)
+    p.add_argument("--centers", help="(N, 2) offsets .npy; omit to detect")
+    p.add_argument("--out-prefix", required=True)
+    p.add_argument("--iterative", action="store_true")
+    p.add_argument("--optimise-positions", action="store_true")
+    p.add_argument("--measure", action="store_true")
+    p.add_argument("--normalise", action="store_true")
+    p.add_argument("--transfer-dtype", choices=["bfloat16", "float16"])
+    p.add_argument("--tile", type=int, default=1024)
+    p.add_argument("--overlap", type=int, default=64)
+    p.add_argument("--thresh", type=float, default=None)
+    p.add_argument("--detection-band", type=int, default=None)
+    p.set_defaults(fn=_cmd_serve)
+
+    p = sub.add_parser("train", help="two-stage transfer training")
+    _model_flags(p)
+    p.add_argument("--blended", required=True, help="(N, S, S, B) inputs .npy")
+    p.add_argument("--isolated", required=True, help="(N, S, S, B) targets .npy")
+    p.add_argument("--out", required=True, help="output weights dir")
+    p.add_argument("--survey", default="lsst")
+    p.add_argument(
+        "--from-survey", default=None,
+        help="warm-start from this survey's weights (cross-band OK)",
+    )
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=5)
+    p.add_argument("--val-fraction", type=float, default=0.1)
+    p.add_argument("--mesh", type=int, help="data-parallel over N devices")
+    p.add_argument("--metrics-log", help="JSONL epoch metrics path")
+    p.set_defaults(fn=_cmd_train)
+
+    p = sub.add_parser("export", help="StableHLO serving artifact")
+    _model_flags(p)
+    p.add_argument("--weights")
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch", type=int, default=32)
+    p.set_defaults(fn=_cmd_export)
+
+    p = sub.add_parser(
+        "import-weights", help="reference TF checkpoint -> native weights"
+    )
+    p.add_argument("--ckpt", required=True, help="TF checkpoint prefix")
+    p.add_argument("--out", required=True, help="output weights dir")
+    p.add_argument(
+        "--partial", action="store_true",
+        help="tolerate missing tensors (e.g. a stripped checkpoint shard)",
+    )
+    p.set_defaults(fn=_cmd_import_weights)
+
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

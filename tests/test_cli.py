@@ -1,0 +1,103 @@
+"""CLI entry points (python -m debvader_tpu): train -> deblend -> detect ->
+serve round-trip on tiny arrays, exercising the argparse surface in-process."""
+
+import numpy as np
+import pytest
+
+from debvader_tpu.cli import main
+
+TINY = ["--stamp-size", "23", "--bands", "3", "--latent", "4",
+        "--filters", "4", "8"]
+
+
+@pytest.fixture(scope="module")
+def weights_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(12, 23, 23, 3)).astype(np.float32)
+    np.save(root / "x.npy", x)
+    np.save(root / "y.npy", x)
+    out = root / "weights"
+    rc = main(
+        ["train", *TINY, "--blended", str(root / "x.npy"),
+         "--isolated", str(root / "y.npy"), "--out", str(out),
+         "--epochs", "1", "--batch-size", "4",
+         "--metrics-log", str(root / "metrics.jsonl")]
+    )
+    assert rc == 0
+    assert (root / "metrics.jsonl").exists()
+    return root, out
+
+
+def test_cli_deblend(weights_dir):
+    root, weights = weights_dir
+    rng = np.random.default_rng(1)
+    stamps = rng.normal(size=(4, 23, 23, 3)).astype(np.float32)
+    np.save(root / "stamps.npy", stamps)
+    rc = main(
+        ["deblend", *TINY, "--weights", str(weights),
+         "--stamps", str(root / "stamps.npy"),
+         "--out", str(root / "means.npy"), "--std", str(root / "std.npy")]
+    )
+    assert rc == 0
+    means = np.load(root / "means.npy")
+    assert means.shape == stamps.shape and np.isfinite(means).all()
+    assert np.load(root / "std.npy").shape == stamps.shape
+
+
+def _field(root):
+    rng = np.random.default_rng(2)
+    f = 128
+    img = (0.01 * rng.normal(size=(f, f))).astype(np.float32)
+    yy, xx = np.mgrid[:f, :f]
+    for cy, cx in ((40, 50), (90, 80)):
+        img += 3 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 1.6**2))
+    field = np.repeat(img[None, :, :, None], 3, axis=-1).astype(np.float32)
+    path = root / "field.npy"
+    np.save(path, field)
+    return path
+
+
+def test_cli_detect_and_serve(weights_dir):
+    root, weights = weights_dir
+    field = _field(root)
+    rc = main(
+        ["detect", "--field", str(field), "--out", str(root / "centers.npy"),
+         "--tile", "64", "--overlap", "16", "--thresh", "25.0",
+         "--detection-band", "0"]
+    )
+    assert rc == 0
+    centers = np.load(root / "centers.npy")
+    assert len(centers) == 2
+
+    rc = main(
+        ["serve", *TINY, "--weights", str(weights), "--field", str(field),
+         "--centers", str(root / "centers.npy"),
+         "--out-prefix", str(root / "out"), "--optimise-positions",
+         "--measure"]
+    )
+    assert rc == 0
+    residual = np.load(str(root / "out_residual.npy"))
+    assert residual.shape == (1, 128, 128, 3)
+    import pandas as pd
+
+    cat = pd.read_csv(str(root / "out_catalog.csv"))
+    assert len(cat) == 2
+    for col in ("mse_center", "shifts_0", "flux_0", "passed_cuts"):
+        assert col in cat.columns
+
+
+def test_cli_export(weights_dir):
+    root, weights = weights_dir
+    rc = main(
+        ["export", *TINY, "--weights", str(weights),
+         "--out", str(root / "fwd.stablehlo"), "--batch", "2"]
+    )
+    assert rc == 0
+    assert (root / "fwd.stablehlo").stat().st_size > 0
+
+
+def test_cli_version_and_help():
+    with pytest.raises(SystemExit) as e:
+        main(["--version"])
+    assert e.value.code == 0
