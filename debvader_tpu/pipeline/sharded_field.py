@@ -263,11 +263,12 @@ class ShardedFieldDeblender:
 
             raw = jax.vmap(gather)(starts).astype(jnp.float32)
             raw = jnp.where(mask[:, None, None, None], raw, 0.0)
-            x = jnp.where(jnp.isfinite(raw), raw, 0.0)
+            x0 = jnp.where(jnp.isfinite(raw), raw, 0.0)
+            x = x0
             if normalise:
                 from debvader_tpu.ops.normalize import normalize_non_linear
 
-                x = normalize_non_linear(x)
+                x = normalize_non_linear(x0)
             dist, _ = model.apply(variables, x, rng=rng, z_mode=z_mode)
             if normalise:
                 from debvader_tpu.ops.normalize import denormalize_distribution
@@ -288,10 +289,12 @@ class ShardedFieldDeblender:
 
                 # band-local epistemic fan-out: deblend_sample_stats's
                 # jitted internals inline under shard_map (static chunk
-                # counts), accumulating Welford stats on this device only
+                # counts), accumulating Welford stats on this device only.
+                # NB it takes the UN-normalized stamps (it applies the
+                # normalise bracket itself, like the single-chip stream)
                 _, epi = deblend_sample_stats(
                     (model, variables),
-                    x,
+                    x0,
                     n_samples=n_epi,
                     rng=jax.random.fold_in(rng, 1),
                     normalise=normalise,

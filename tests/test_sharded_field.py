@@ -297,3 +297,32 @@ def test_sharded_predict_matches_single_device(tiny_net):
     np.testing.assert_allclose(epi.sum(), epi_s.sum(), rtol=0.5)
     norms = np.asarray(cat_p.epistemic_norm, np.float32)
     assert np.isfinite(norms).all() and (norms > 0).all()
+
+
+def test_sharded_epistemic_normalise_bracket(tiny_net):
+    """normalise=True + epistemic: the band-local sample stats must apply
+    the normalize bracket ONCE (regression: the stream once passed already-
+    normalized stamps into deblend_sample_stats(normalise=True)).  The
+    per-source epistemic_norm then agrees statistically with the
+    single-chip stream."""
+    field, centers = _field(seed=17, n_src=6)
+    cfg = PipelineConfig(
+        cutout_size=CS, nb_of_bands=B, epistemic_samples=32
+    )
+    df = DeblendField(
+        tiny_net, field, cutout_size=CS, nb_of_bands=B, cfg=cfg,
+        z_mode="mean", normalise=True,
+        epistemic_uncertainty_estimation=True,
+    )
+    cat_s, _ = df.deblend_and_render(centers)
+    sf = ShardedFieldDeblender(
+        tiny_net, field, _mesh(), cutout_size=CS, nb_of_bands=B, cfg=cfg,
+        z_mode="mean", normalise=True,
+        epistemic_uncertainty_estimation=True,
+    )
+    cat_p, _ = sf.deblend_and_render(centers)
+    a = np.asarray(cat_s.epistemic_norm, np.float32)
+    b = np.asarray(cat_p.epistemic_norm, np.float32)
+    assert np.isfinite(b).all() and (b > 0).all()
+    # independent Monte-Carlo draws: agree within sampling noise, not bits
+    np.testing.assert_allclose(b, a, rtol=0.6)
