@@ -122,6 +122,8 @@ def _cmd_detect(args) -> int:
 
 
 def _cmd_serve(args) -> int:
+    from debvader_tpu.config import PipelineConfig
+
     net = _load_net(args)
     field = _load_field(args.field)
 
@@ -129,6 +131,14 @@ def _cmd_serve(args) -> int:
         cutout_size=args.stamp_size,
         nb_of_bands=args.bands,
         normalise=args.normalise,
+        # thread --tile/--overlap into the pipeline config so the
+        # ITERATIVE path's internal detection honors them too
+        cfg=PipelineConfig(
+            cutout_size=args.stamp_size,
+            nb_of_bands=args.bands,
+            tile_size=args.tile,
+            tile_overlap=args.overlap,
+        ),
     )
     timings: dict = {}
     if args.iterative:

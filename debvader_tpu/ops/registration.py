@@ -149,6 +149,13 @@ def position_optimization_batch_windowed(
     s = pred_bands.shape[1]
     win = registration_window(s, bound)
     if win > min(h, w):
+        if row_bounds is not None or h != w:
+            raise ValueError(
+                f"field ({h}, {w}) is smaller than the {win}px registration "
+                f"window and the full-field fallback cannot honor "
+                f"row_bounds / rectangular bands — use a field of at least "
+                f"{win}px or a smaller shift bound"
+            )
         # tiny fields: the window IS the field — use the full-field solve
         return position_optimization_batch(
             field_band, pred_bands, detected_offsets, bound, iterations
@@ -180,10 +187,20 @@ def position_optimization_batch_windowed(
     def solve_one(pred, io, fr):
         g = jnp.clip(pos0 + io - margin, g_lo, lim)
         fw = jax.lax.dynamic_slice(field_band, (g[0], g[1]), (win, win))
-        canvas = jnp.zeros((win, win), pred.dtype)
-        p = pos0 + io - g  # stamp placement inside the window
+        # Place the stamp into a margin-padded canvas and slice the window
+        # out: a border-flush source can have pos0 + floor(off) up to 2 px
+        # BEFORE the clamped window origin, and dynamic_update_slice on a
+        # bare (win, win) canvas would CLAMP the placement (shifting the
+        # whole stamp) where the full-field solve CLIPS the overhanging
+        # rows at the field edge.  The pad absorbs the overhang and the
+        # slice discards it, exactly like the field edge does.
+        big = win + 2 * margin
+        canvas = jnp.zeros((big, big), pred.dtype)
+        p = pos0 + io - g + margin  # stamp placement inside the padded canvas
         canvas = jax.lax.dynamic_update_slice(canvas, pred, (p[0], p[1]))
-        base = subpixel_shift_const(canvas, fr)
+        base = subpixel_shift_const(canvas, fr)[
+            margin : margin + win, margin : margin + win
+        ]
         base_p = jnp.pad(base, bp)
 
         def shift_win(x):

@@ -260,6 +260,14 @@ class DeblendField:
             from debvader_tpu.parallel.sharded import make_sharded_apply
 
             self._sharded_apply = make_sharded_apply(net[0], mesh, z_mode=z_mode)
+            # epistemic estimation must SAMPLE even under z_mode='mean' —
+            # reusing the deterministic apply would make every replica
+            # identical and silently collapse the uncertainty to zero
+            self._sharded_apply_sample = (
+                self._sharded_apply
+                if z_mode == "sample"
+                else make_sharded_apply(net[0], mesh, z_mode="sample")
+            )
         self.quantized = quantized
         if quantized is not None:
             if mesh is not None:
@@ -559,7 +567,7 @@ class DeblendField:
                 rng=self._next_rng(),
                 normalise=self.normalise,
                 mesh=self.mesh,
-                apply_fn=self._sharded_apply if self.mesh is not None else None,
+                apply_fn=self._sharded_apply_sample if self.mesh is not None else None,
             )
             epistemic = np.asarray(epi_dev)
             epi_norm = epistemic[..., band].sum(axis=(1, 2)) / np.maximum(
@@ -1006,7 +1014,7 @@ class DeblendField:
                     rng=self._next_rng(),
                     normalise=self.normalise,
                     mesh=self.mesh,
-                    apply_fn=self._sharded_apply if self.mesh is not None else None,
+                    apply_fn=self._sharded_apply_sample if self.mesh is not None else None,
                 )
                 epi_norm_dev = epi[..., band].sum(axis=(1, 2)) / jnp.maximum(
                     means_dev[..., band].sum(axis=(1, 2)), 1e-30

@@ -79,6 +79,27 @@ def band_halo(cutout_size: int, bound: float, interp_order: int) -> int:
     return half + max(reg // 2, math.ceil(bound) + interp_pad) + 2
 
 
+def _fold_strips(canvas, strip: int, bh: int, d: int):
+    """Inside a shard_map body: add each neighbor's cross-band render
+    contributions (the first/last ``strip`` canvas rows) into their owner
+    with one ppermute pair.  Receive geometry: my contributions to band
+    k-1 land at ITS local rows [bh, bh + strip); to band k+1 at its rows
+    [strip, 2*strip).  No-op on a single device."""
+    if d <= 1:
+        return canvas
+    up = canvas[:strip]  # my contributions to band k-1
+    down = canvas[bh + strip :]  # ... to band k+1
+    from_below = jax.lax.ppermute(
+        up, BAND_AXIS, [(k, k - 1) for k in range(1, d)]
+    )
+    from_above = jax.lax.ppermute(
+        down, BAND_AXIS, [(k, k + 1) for k in range(d - 1)]
+    )
+    canvas = canvas.at[bh : bh + strip].add(from_below)
+    canvas = canvas.at[strip : 2 * strip].add(from_above)
+    return canvas
+
+
 def _band_mesh(mesh_or_devices) -> Mesh:
     """A 1-D ('band',) mesh over the given mesh's devices (any shape) or an
     explicit device list."""
@@ -375,17 +396,7 @@ class ShardedFieldDeblender:
 
         def body(band, canvas):
             band, canvas = band[0], canvas[0]
-            if d > 1:
-                up = canvas[:strip]  # my contributions to band k-1
-                down = canvas[bh + strip :]  # ... to band k+1
-                from_below = jax.lax.ppermute(
-                    up, BAND_AXIS, [(k, k - 1) for k in range(1, d)]
-                )
-                from_above = jax.lax.ppermute(
-                    down, BAND_AXIS, [(k, k + 1) for k in range(d - 1)]
-                )
-                canvas = canvas.at[bh : bh + strip].add(from_below)
-                canvas = canvas.at[strip : 2 * strip].add(from_above)
+            canvas = _fold_strips(canvas, strip, bh, d)
             model_band = canvas[strip : strip + bh, pad : pad + f]
             resid = band[halo : halo + bh] - model_band
             return resid, model_band
@@ -410,18 +421,7 @@ class ShardedFieldDeblender:
         d = self.n_bands_mesh
 
         def body(canvas):
-            canvas = canvas[0]
-            if d > 1:
-                up = canvas[:strip]
-                down = canvas[bh + strip :]
-                from_below = jax.lax.ppermute(
-                    up, BAND_AXIS, [(k, k - 1) for k in range(1, d)]
-                )
-                from_above = jax.lax.ppermute(
-                    down, BAND_AXIS, [(k, k + 1) for k in range(d - 1)]
-                )
-                canvas = canvas.at[bh : bh + strip].add(from_below)
-                canvas = canvas.at[strip : 2 * strip].add(from_above)
+            canvas = _fold_strips(canvas[0], strip, bh, d)
             return canvas[strip : strip + bh, pad : pad + f]
 
         mapped = jax.shard_map(
@@ -760,26 +760,32 @@ class ShardedFieldDeblender:
             )
             got = jax.device_get(scalars)
             for k in range(d):
-                for j in np.flatnonzero(idx[k] >= 0):
-                    mse_kj = got["mse_center"][k, j]
-                    epi_kj = got["epistemic_norm"][k, j]
-                    cols["list_idx"].append(int(idx[k, j]))
-                    cols["galaxy_distances_to_center_x"].append(dets[k, j, 0])
-                    cols["galaxy_distances_to_center_y"].append(dets[k, j, 1])
-                    cols["mse_center"].append(mse_kj)
-                    cols["epistemic_norm"].append(epi_kj)
-                    cols["shifts"].append(got["shifts"][k, j])
-                    cols["passed_cuts"].append(
-                        bool(
-                            np.isfinite(mse_kj)
-                            and np.isfinite(epi_kj)
-                            and mse_kj <= mse_criterion
-                            and epi_kj <= epistemic_criterion
-                        )
-                    )
-                    if measure:
-                        for key in ("flux", "centroid", "ellipticity", "snr"):
-                            cols[key].append(got[key][k, j])
+                sel = np.flatnonzero(idx[k] >= 0)
+                if len(sel) == 0:
+                    continue
+                mse_k = got["mse_center"][k, sel]
+                epi_k = got["epistemic_norm"][k, sel]
+                cols["list_idx"].extend(idx[k, sel].tolist())
+                cols["galaxy_distances_to_center_x"].extend(
+                    dets[k, sel, 0].tolist()
+                )
+                cols["galaxy_distances_to_center_y"].extend(
+                    dets[k, sel, 1].tolist()
+                )
+                cols["mse_center"].extend(list(mse_k))
+                cols["epistemic_norm"].extend(list(epi_k))
+                cols["shifts"].extend(list(got["shifts"][k, sel]))
+                cols["passed_cuts"].extend(
+                    (
+                        np.isfinite(mse_k)
+                        & np.isfinite(epi_k)
+                        & (mse_k <= mse_criterion)
+                        & (epi_k <= epistemic_criterion)
+                    ).tolist()
+                )
+                if measure:
+                    for key in ("flux", "centroid", "ellipticity", "snr"):
+                        cols[key].extend(list(got[key][k, sel]))
 
         order = np.argsort(np.asarray(cols["list_idx"], np.int64), kind="stable")
         cols = {k: [v[i] for i in order] for k, v in cols.items()}
@@ -803,17 +809,7 @@ class ShardedFieldDeblender:
         def body(res, canvas):
             res, canvas = res[0], canvas[0]
             k = jax.lax.axis_index(BAND_AXIS)
-            if d > 1:
-                up = canvas[:strip]
-                down = canvas[bh + strip :]
-                from_below = jax.lax.ppermute(
-                    up, BAND_AXIS, [(j, j - 1) for j in range(1, d)]
-                )
-                from_above = jax.lax.ppermute(
-                    down, BAND_AXIS, [(j, j + 1) for j in range(d - 1)]
-                )
-                canvas = canvas.at[bh : bh + strip].add(from_below)
-                canvas = canvas.at[strip : 2 * strip].add(from_above)
+            canvas = _fold_strips(canvas, strip, bh, d)
             # after the fold only the INTERIOR rows [bs, be) hold every
             # band's contributions (a halo row's owner never sends its own
             # interior writes here) — subtract interior-only, then rebuild

@@ -844,3 +844,22 @@ def test_z_mode_mean_deterministic_serving(tiny_net):
 
     with pytest.raises(ValueError, match="z_mode"):
         DeblendField(tiny_net, field, z_mode="bogus", **kw)
+
+
+def test_mesh_epistemic_samples_under_z_mode_mean(tiny_net):
+    """Regression: with mesh + z_mode='mean', epistemic estimation must
+    still SAMPLE (a deterministic replica apply collapses the uncertainty
+    to exactly zero)."""
+    from debvader_tpu.parallel import make_mesh
+
+    field, centers = _tiny_field()
+    df = DeblendField(
+        tiny_net, field, cutout_size=23, nb_of_bands=3,
+        cfg=PipelineConfig(cutout_size=23, nb_of_bands=3, epistemic_samples=8),
+        mesh=make_mesh(4), z_mode="mean",
+        epistemic_uncertainty_estimation=True,
+    )
+    res = df.deblend_field(centers)
+    epi = np.stack(list(res.epistemic_uncertainty))
+    assert np.isfinite(epi).all()
+    assert epi.max() > 0, "epistemic collapsed to zero under z_mode='mean'"

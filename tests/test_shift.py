@@ -351,3 +351,39 @@ def test_position_optimization_windowed_crowded_scene(rng_np):
         )
     )
     np.testing.assert_allclose(windowed, full, atol=1e-4)
+
+
+def test_position_optimization_windowed_border_flush_even_field(rng_np):
+    """Regression: on an even-size field, pos0 + floor(offset) for an
+    extraction-valid border-flush source can sit 1-2 px BEFORE the clamped
+    window origin; the placement must CLIP the overhanging stamp rows like
+    the full-field canvas does, not clamp-shift the whole stamp."""
+    from debvader_tpu.ops.registration import (
+        position_optimization_batch_windowed,
+    )
+
+    f, s = 100, 15
+    stamp = _gauss(s, 7.0, 7.0, sigma=2.0)
+    true = np.array([0.4, 0.3], np.float32)
+    pos0 = (f - s) // 2
+    for det in ([-43.0, -40.0], [-42.6, 10.0], [42.0, 42.0], [-43.0, 42.9]):
+        field = (0.001 * rng_np.normal(size=(f, f))).astype(np.float32)
+        canvas = np.zeros((f, f), np.float32)
+        canvas[pos0 : pos0 + s, pos0 : pos0 + s] = stamp
+        field += scipy.ndimage.shift(
+            canvas, np.asarray(det) + true, order=1
+        ).astype(np.float32)
+        full = np.asarray(
+            position_optimization_batch(
+                jnp.asarray(field), jnp.asarray(stamp)[None],
+                jnp.asarray([det], jnp.float32),
+            )
+        )[0]
+        windowed = np.asarray(
+            position_optimization_batch_windowed(
+                jnp.asarray(field), jnp.asarray(stamp)[None],
+                jnp.asarray([det], jnp.float32),
+            )
+        )[0]
+        np.testing.assert_allclose(windowed, full, atol=1e-4)
+        np.testing.assert_allclose(windowed, true, atol=0.05)
