@@ -24,6 +24,19 @@ and — by default — the final 12-channel conv, whose outputs are the
 Normal head's loc/scale and deserve full precision at negligible cost
 (~3% of decoder FLOPs).
 
+Selective PTQ (``quantize_vae(layers=[...])``) was ablated on hardware
+(scripts/ablate_quantized.py, BASELINE.md round-3 table): the speedup
+attribution is the OPPOSITE of the naive 2x-MXU-rate story — quantizing
+only the lane-bound decoder tail (ConvT_4..7, 32-64 channels) keeps 1.14x
+of the full set's 1.25x (those stages are not MXU-peak-bound, so halving
+bytes/element is what speeds them), while the peak-bound 128-256-channel
+stages alone keep only 1.07x.  The tail is simultaneously the dominant
+error contributor (closest to the output), so no subset clears the 1e-4
+fidelity clause — which the bf16 float forward itself already brushes
+(max flux rel err 1.41e-4 vs fp32).  Hence the full set stays the default
+for this opt-in mode: subsetting sacrifices speed without changing which
+side of 1e-4 the error lands on.
+
 This is an OPT-IN serving mode: the reference contract (PARITY.md) is the
 float path; int8 trades a measured, documented accuracy delta for
 throughput.  There is no reference counterpart (the reference serves in
@@ -351,6 +364,7 @@ def quantize_vae(
     quantize_dense: bool = True,
     quantize_final_conv: bool = False,
     normalise: bool = False,
+    layers: "list[str] | None" = None,
 ) -> QuantizedVAE:
     """Calibrate activation scales on `calib_images` and quantize weights.
 
@@ -361,8 +375,24 @@ def quantize_vae(
 
     ``normalise=True`` calibrates on tanh(arcsinh(x))-normalized stamps;
     pass it when the serving pipeline will run with ``normalise=True``
-    (DeblendField rejects a mismatch — see QuantizedVAE.normalise)."""
+    (DeblendField rejects a mismatch — see QuantizedVAE.normalise).
+
+    ``layers`` overrides the default layer selection with an explicit set
+    of quantization-point names (see _layer_names for the naming scheme) —
+    the lever for selective PTQ, e.g. quantizing only the peak-bound
+    >=128-channel stages while the lane-bound decoder tail (which the int8
+    MXU rate cannot speed up anyway — docs/DESIGN.md §4) stays float."""
     cfg = model.cfg
+    if layers is not None:
+        valid = set(
+            _layer_names(cfg, quantize_dense=True, quantize_final_conv=True)
+        )
+        unknown = sorted(set(layers) - valid)
+        if unknown:
+            raise ValueError(
+                f"unknown quantization layers {unknown}; valid names: "
+                f"{sorted(valid)}"
+            )
     x = jnp.asarray(calib_images, jnp.float32)
     x = jnp.where(jnp.isfinite(x), x, 0.0)
     if normalise:
@@ -383,7 +413,11 @@ def quantize_vae(
         name: jnp.maximum(a, 1e-30) / 127.0 for name, a in amax.items()
     }
 
-    names = _layer_names(cfg, quantize_dense, quantize_final_conv)
+    names = (
+        list(layers)
+        if layers is not None
+        else _layer_names(cfg, quantize_dense, quantize_final_conv)
+    )
     qweights: dict[str, tuple[jax.Array, jax.Array]] = {}
     for name in names:
         scope, layer = name.split("/")

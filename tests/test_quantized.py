@@ -188,3 +188,26 @@ def test_normalise_mismatch_rejected_and_matched_works(tiny):
     means = np.stack(list(res["output_images_mean"]))
     assert means.shape == (1, 23, 23, 3)
     assert np.isfinite(means).all()
+
+
+def test_layers_override_selective_quantization(tiny):
+    """quantize_vae(layers=...) quantizes exactly the named layers; unknown
+    names are rejected; a quantized-subset forward differs from float only
+    through those layers (here: quantizing nothing == float path)."""
+    model, variables, x = tiny
+    rng = jax.random.PRNGKey(1)
+
+    qv_none = q.quantize_vae(model, variables, x, rng=rng, layers=[])
+    assert qv_none.qweights == {}
+    df, _ = q.quantized_forward(qv_none, x, z_mode="mean", quant=False)
+    dq, _ = q.quantized_forward(qv_none, x, z_mode="mean", quant=True)
+    np.testing.assert_array_equal(np.asarray(df.loc), np.asarray(dq.loc))
+
+    sub = ["enc/Conv_0", "dec/ConvTranspose2DTF_1"]
+    qv = q.quantize_vae(model, variables, x, rng=rng, layers=sub)
+    assert sorted(qv.qweights) == sorted(sub)
+    dqs, _ = q.quantized_forward(qv, x, z_mode="mean", quant=True)
+    assert not np.array_equal(np.asarray(df.loc), np.asarray(dqs.loc))
+
+    with pytest.raises(ValueError, match="unknown quantization layers"):
+        q.quantize_vae(model, variables, x, rng=rng, layers=["enc/Conv_99"])
