@@ -26,11 +26,13 @@ Normal head's loc/scale and deserve full precision at negligible cost
 
 Selective PTQ (``quantize_vae(layers=[...])``) was ablated on hardware
 (scripts/ablate_quantized.py, BASELINE.md round-3 table): the speedup
-attribution is the OPPOSITE of the naive 2x-MXU-rate story — quantizing
-only the lane-bound decoder tail (ConvT_4..7, 32-64 channels) keeps 1.14x
-of the full set's 1.25x (those stages are not MXU-peak-bound, so halving
-bytes/element is what speeds them), while the peak-bound 128-256-channel
-stages alone keep only 1.07x.  The tail is simultaneously the dominant
+attribution is the OPPOSITE of round 2's guess — quantizing only the
+lane-bound decoder tail (ConvT_4..7, 32-64 channels) keeps 1.14x of the
+full set's 1.25x, while the peak-bound 128-256-channel stages alone keep
+only 1.07x.  Amdahl explains it: the tail's ~70 TF/s bf16 rate makes it
+the wall-time majority, and the int8 path roughly doubles it too (both
+because an s8 MXU pass is 2x the bf16 rate even when lane-padded, and
+because int8 halves the tail's large activation bytes).  The tail is simultaneously the dominant
 error contributor (closest to the output), so no subset clears the 1e-4
 fidelity clause — which the bf16 float forward itself already brushes
 (max flux rel err 1.41e-4 vs fp32).  Hence the full set stays the default
