@@ -48,6 +48,21 @@ class ModelConfig:
     # checkpoint-compatible; trades 16/9x FLOPs for MXU lane occupancy at
     # the lane-bound decoder-tail shapes.
     decoder_subpixel: bool = False
+    # Run the LAST N decoder ConvTranspose stage-pairs — and, when N > 0,
+    # the final band conv — in float32 regardless of `dtype`.  The flux
+    # error of the bf16 forward lives almost entirely in the decoder
+    # (measured: enc16+dec32 is at 1e-6 where enc16+dec16 is at 1e-4-5e-4,
+    # BASELINE.md round 3), and mostly in its late stages, so a small N
+    # buys fidelity-clause headroom for a fraction of full-fp32's cost.
+    # 0 = everything in `dtype` (the fast default).
+    decoder_f32_stages: int = 0
+
+    def __post_init__(self):
+        if not 0 <= self.decoder_f32_stages <= len(self.filters):
+            raise ValueError(
+                f"decoder_f32_stages must be in [0, {len(self.filters)}], "
+                f"got {self.decoder_f32_stages}"
+            )
 
     @property
     def input_shape(self) -> tuple[int, int, int]:

@@ -385,6 +385,14 @@ def quantize_vae(
     >=128-channel stages while the lane-bound decoder tail (which the int8
     MXU rate cannot speed up anyway — docs/DESIGN.md §4) stays float."""
     cfg = model.cfg
+    if cfg.decoder_f32_stages:
+        raise ValueError(
+            "quantize_vae does not support ModelConfig.decoder_f32_stages: "
+            "int8 PTQ and the fp32-tail fidelity mode are opposite "
+            "trade-offs, and the quantized forward does not implement the "
+            "per-stage dtype split — build the model with "
+            "decoder_f32_stages=0 to quantize"
+        )
     if layers is not None:
         valid = set(
             _layer_names(cfg, quantize_dense=True, quantize_final_conv=True)

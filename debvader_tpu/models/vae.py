@@ -105,20 +105,32 @@ class Decoder(nn.Module):
         h = h.reshape(h.shape[0], w, w, cfg.filters[-1]).astype(dtype)
         for i in range(len(cfg.filters) - 1, -1, -1):
             k = (cfg.kernels[i], cfg.kernels[i])
+            # Mixed-precision serving: the last decoder_f32_stages pairs
+            # (low filter index = late stage) compute in float32 — the
+            # decoder's late stages carry nearly all of the bf16 flux
+            # error (config.py ModelConfig.decoder_f32_stages).
+            stage_dtype = (
+                jnp.float32 if i < cfg.decoder_f32_stages else dtype
+            )
             h = ConvTranspose2DTF(
-                cfg.filters[i], k, strides=(2, 2), dtype=dtype,
+                cfg.filters[i], k, strides=(2, 2), dtype=stage_dtype,
                 subpixel=cfg.decoder_subpixel,
             )(h)
             h = PReLU()(h)
-            h = ConvTranspose2DTF(cfg.filters[i], k, strides=(1, 1), dtype=dtype)(h)
+            h = ConvTranspose2DTF(
+                cfg.filters[i], k, strides=(1, 1), dtype=stage_dtype
+            )(h)
             h = PReLU()(h)
+        head_dtype = jnp.float32 if cfg.decoder_f32_stages > 0 else dtype
         if cfg.decoder_subpixel:
             # Same params at the same tree position ("Conv_0") as the stock
             # conv below — opt-in lane-occupancy recast, ckpt-compatible.
-            h = SubpixelConv2D(cfg.nb_of_bands * 2, dtype=dtype, name="Conv_0")(h)
+            h = SubpixelConv2D(
+                cfg.nb_of_bands * 2, dtype=head_dtype, name="Conv_0"
+            )(h)
         else:
             h = nn.Conv(
-                cfg.nb_of_bands * 2, (3, 3), padding="SAME", dtype=dtype,
+                cfg.nb_of_bands * 2, (3, 3), padding="SAME", dtype=head_dtype,
                 param_dtype=jnp.float32,
             )(h)
         h = nn.relu(h)

@@ -341,3 +341,46 @@ def test_decoder_subpixel_gradients_match():
         np.testing.assert_allclose(
             b, a, atol=3e-5 * scale + 1e-8, err_msg=jax.tree_util.keystr(path)
         )
+
+
+def test_decoder_f32_stages_mixed_precision():
+    """decoder_f32_stages runs the decoder's LAST N stage-pairs (+ head
+    conv) in fp32: same param tree, fp32 model bit-unaffected, and the
+    bf16 error vs fp32 shrinks monotonically-in-practice as N grows
+    (measured ladder: 5.4e-4 -> 6e-5 -> 1e-5 total-flux rel err on
+    sim_demo weights — here random init, so bounds are loose)."""
+    cfg32 = ModelConfig()
+    m32 = DeblenderVAE(cfg32)
+    variables = init_vae(m32, jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 59, 59, 6)), jnp.float32)
+    ref = np.asarray(m32.apply(variables, x, z_mode="mean")[0].loc, np.float64)
+
+    # the flag must not touch the fp32 model's graph output
+    m32b = DeblenderVAE(ModelConfig(decoder_f32_stages=2))
+    np.testing.assert_array_equal(
+        ref, np.asarray(m32b.apply(variables, x, z_mode="mean")[0].loc, np.float64)
+    )
+
+    # the error ladder needs trained weights: random init's near-zero
+    # decoder outputs hide the late-stage rounding the flag removes
+    from debvader_tpu.data.simulate import simulate_batch
+    from debvader_tpu.training.checkpoint import load_deblender
+
+    model, tvars = load_deblender("sim_demo")
+    stamps, _, _ = simulate_batch(jax.random.PRNGKey(7), 32)
+    xs = jnp.asarray(stamps, jnp.float32)
+    tref = np.asarray(model.apply(tvars, xs, z_mode="mean")[0].loc, np.float64)
+
+    def flux_err(n):
+        m = DeblenderVAE(ModelConfig(dtype="bfloat16", decoder_f32_stages=n))
+        # same param tree: fp32 variables apply unchanged
+        loc = np.asarray(m.apply(tvars, xs, z_mode="mean")[0].loc, np.float64)
+        tot, tr = loc.sum(axis=(1, 2, 3)), tref.sum(axis=(1, 2, 3))
+        return (np.abs(tot - tr) / np.maximum(np.abs(tr), 1e-9)).max()
+
+    e0, e2 = flux_err(0), flux_err(2)
+    assert e2 < e0 * 0.5, f"mixed precision did not help: {e0} -> {e2}"
+    assert e2 < 1e-4, f"f32_stages=2 above the fidelity clause: {e2}"
+
+    with pytest.raises(ValueError, match="decoder_f32_stages"):
+        ModelConfig(decoder_f32_stages=5)

@@ -211,3 +211,20 @@ def test_layers_override_selective_quantization(tiny):
 
     with pytest.raises(ValueError, match="unknown quantization layers"):
         q.quantize_vae(model, variables, x, rng=rng, layers=["enc/Conv_99"])
+
+
+def test_f32_stages_rejected():
+    """The quantized forward has no per-stage dtype split — mixing the two
+    opt-in modes must fail loudly, not silently diverge from the float
+    reference path."""
+    from debvader_tpu.models.vae import init_vae as _init
+
+    cfg = ModelConfig(
+        stamp_size=23, nb_of_bands=3, latent_dim=8, filters=(8, 16),
+        kernels=(3, 3), decoder_f32_stages=1,
+    )
+    model = DeblenderVAE(cfg)
+    variables = _init(model, jax.random.PRNGKey(0))
+    x = jnp.zeros((2, 23, 23, 3), jnp.float32)
+    with pytest.raises(ValueError, match="decoder_f32_stages"):
+        q.quantize_vae(model, variables, x)
