@@ -39,6 +39,12 @@ def _model_flags(p: argparse.ArgumentParser) -> None:
         "--dtype", default="float32", choices=["float32", "bfloat16"],
         help="compute dtype for the forward (bfloat16 for serving throughput)",
     )
+    p.add_argument(
+        "--f32-stages", type=int, default=0, metavar="N",
+        help="run the decoder's last N stage-pairs (+ band conv) in float32 "
+        "under a bfloat16 forward — N=1 meets the <=1e-4 flux-fidelity "
+        "bound at >=1e5 stamps/s (BASELINE.md mixed-precision ladder)",
+    )
 
 
 def _load_net(args):
@@ -61,6 +67,7 @@ def _load_net(args):
                 filters=tuple(args.filters),
                 kernels=kernels,
                 dtype=args.dtype,
+                decoder_f32_stages=args.f32_stages,
             )
         )
         return model, load_weights_from(args.weights)
@@ -71,6 +78,7 @@ def _load_net(args):
         filters=tuple(args.filters),
         kernels=kernels,
         dtype=args.dtype,
+        decoder_f32_stages=args.f32_stages,
     )
 
 

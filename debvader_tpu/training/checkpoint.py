@@ -172,6 +172,7 @@ def load_deblender(
     return_encoder_decoder_z: bool = False,
     weights_dir=None,
     dtype: str = "float32",
+    decoder_f32_stages: int = 0,
 ):
     """Build the VAE and load survey weights (reference model/model.py:221-271).
 
@@ -189,6 +190,7 @@ def load_deblender(
         filters=tuple(filters),
         kernels=tuple(kernels),
         dtype=dtype,
+        decoder_f32_stages=decoder_f32_stages,
     )
     model = DeblenderVAE(cfg)
     variables = load_weights(survey, weights_dir=weights_dir)

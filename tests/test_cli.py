@@ -101,3 +101,21 @@ def test_cli_version_and_help():
     with pytest.raises(SystemExit) as e:
         main(["--version"])
     assert e.value.code == 0
+
+
+def test_cli_deblend_f32_stages(weights_dir):
+    """--f32-stages threads into ModelConfig.decoder_f32_stages (mixed-
+    precision serving) through both the weights-dir and survey loaders."""
+    root, weights = weights_dir
+    rng = np.random.default_rng(3)
+    stamps = rng.normal(size=(4, 23, 23, 3)).astype(np.float32)
+    np.save(root / "stamps_mp.npy", stamps)
+    rc = main(
+        ["deblend", *TINY, "--weights", str(weights),
+         "--stamps", str(root / "stamps_mp.npy"),
+         "--out", str(root / "means_mp.npy"),
+         "--dtype", "bfloat16", "--f32-stages", "1"]
+    )
+    assert rc == 0
+    means = np.load(root / "means_mp.npy")
+    assert means.shape == (4, 23, 23, 3) and np.isfinite(means).all()
