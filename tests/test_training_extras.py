@@ -102,3 +102,63 @@ def test_profiler_trace_writes(tmp_path):
     # xplane protobuf dump exists
     files = list(tmp_path.rglob("*"))
     assert any(f.is_file() for f in files)
+
+
+def test_chunked_train_step_matches_step_loop():
+    """make_chunked_train_step's scanned steps run the same math as the
+    same steps dispatched one at a time through make_train_step with the
+    same simulated batches (same loss_fn, rng threading, optimizer).  The
+    two are different XLA programs, so agreement is float-epsilon, not
+    bitwise (fusion context shifts reduction orders)."""
+    from debvader_tpu.data.simulate import simulate_batch
+    from debvader_tpu.training.train import make_chunked_train_step
+
+    model = DeblenderVAE(TINY)
+    cfg = TrainConfig(learning_rate=1e-3)
+    chunk, batch = 4, 8
+
+    def make_batch(key):
+        blend, _, iso_clean = simulate_batch(key, batch, stamp=23, bands=3)
+        return blend, iso_clean
+
+    state_a = create_train_state(model, cfg, rng=jax.random.PRNGKey(5))
+    run = make_chunked_train_step(
+        model, cfg, make_batch=make_batch, chunk=chunk, donate=False
+    )
+    base = jax.random.PRNGKey(99)
+    state_a, terms = run(state_a, base)
+    assert np.asarray(terms["loss"]).shape == (chunk,)
+
+    state_b = create_train_state(model, cfg, rng=jax.random.PRNGKey(5))
+    step = make_train_step(model, cfg, donate=False)
+    for i in range(chunk):
+        x, y = make_batch(jax.random.fold_in(base, i))
+        state_b, t = step(state_b, x, y)
+        np.testing.assert_allclose(
+            np.asarray(terms["loss"])[i], np.asarray(t["loss"]), rtol=1e-5
+        )
+
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(state_a.params),
+        jax.tree_util.tree_leaves(state_b.params),
+    ):
+        # The per-step loss agreement above (rtol 1e-5 across the whole
+        # chunk) is the functional pin: loss at step i is computed through
+        # params after i-1 updates, so matching losses mean matching
+        # trajectories.  Per-element params are NOT tightly comparable
+        # across the two programs — Adam's scale-free m/sqrt(v) turns
+        # float-epsilon gradient differences on near-zero-gradient elements
+        # into up-to +-lr drift per step (measured up to 5e-4 after 4 steps
+        # at lr=1e-3) — so the param check is a coarse chunk*lr bound that
+        # still catches a wrong batch, rng thread, or optimizer wiring.
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), rtol=0.05, atol=2e-3
+        )
+    for sa, sb in zip(
+        jax.tree_util.tree_leaves(state_a.batch_stats),
+        jax.tree_util.tree_leaves(state_b.batch_stats),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(sa), np.asarray(sb), rtol=0.05, atol=2e-3
+        )
+    assert int(state_a.step) == int(state_b.step) == chunk
