@@ -42,8 +42,10 @@ def _model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--f32-stages", type=int, default=0, metavar="N",
         help="run the decoder's last N stage-pairs (+ band conv) in float32 "
-        "under a bfloat16 forward — N=1 meets the <=1e-4 flux-fidelity "
-        "bound at >=1e5 stamps/s (BASELINE.md mixed-precision ladder)",
+        "under a bfloat16 forward.  NOTE: with converged weights the bf16 "
+        "rounding error is distributed network-wide (~2.5e-3 mean flux rel "
+        "err) and this flag no longer isolates it; the <=1e-4-compliant "
+        "serving mode is --dtype float32 (BASELINE.md round-3 notes)",
     )
 
 

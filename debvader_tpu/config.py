@@ -49,12 +49,16 @@ class ModelConfig:
     # the lane-bound decoder-tail shapes.
     decoder_subpixel: bool = False
     # Run the LAST N decoder ConvTranspose stage-pairs — and, when N > 0,
-    # the final band conv — in float32 regardless of `dtype`.  The flux
-    # error of the bf16 forward lives almost entirely in the decoder
-    # (measured: enc16+dec32 is at 1e-6 where enc16+dec16 is at 1e-4-5e-4,
-    # BASELINE.md round 3), and mostly in its late stages, so a small N
-    # buys fidelity-clause headroom for a fraction of full-fp32's cost.
-    # 0 = everything in `dtype` (the fast default).
+    # the final band conv — in float32 regardless of `dtype`.  NOTE
+    # (round-3 re-measurement, retrained sim_demo weights): with CONVERGED
+    # weights the bf16-vs-fp32 flux error is distributed across the whole
+    # network (~2.5e-3 mean / 8e-3 max, encoder and decoder contributing
+    # comparably), so this flag no longer isolates it — the earlier
+    # decoder-late-stage attribution (enc16+dec32 at 1e-6) held only for
+    # the barely-trained r2 demo checkpoint.  The <=1e-4 serving mode is
+    # full float32.  The flag remains a checkpoint-compatible mechanism
+    # (tests/test_model.py pins the dtype split).  0 = everything in
+    # `dtype` (the fast default).
     decoder_f32_stages: int = 0
 
     def __post_init__(self):

@@ -34,10 +34,25 @@ the wall-time majority, and the int8 path roughly doubles it too (both
 because an s8 MXU pass is 2x the bf16 rate even when lane-padded, and
 because int8 halves the tail's large activation bytes).  The tail is simultaneously the dominant
 error contributor (closest to the output), so no subset clears the 1e-4
-fidelity clause — which the bf16 float forward itself already brushes
-(max flux rel err 1.41e-4 vs fp32).  Hence the full set stays the default
-for this opt-in mode: subsetting sacrifices speed without changing which
-side of 1e-4 the error lands on.
+fidelity clause.  Hence the full set stays the default for this opt-in
+mode: subsetting sacrifices speed without changing which side of 1e-4
+the error lands on.
+
+ACCURACY ON CONVERGED WEIGHTS (round-3 re-measurement): the r2-era
+accuracy numbers (flux rel err ~4e-4) were an artifact of the
+barely-trained 96-step demo checkpoint.  With the retrained sim_demo
+weights, int8 PTQ measures ~0.2 mean total-flux rel err (CPU fp32
+comparison; TPU bf16 comparison similar) — NOT photometry-grade.
+Per-layer ablation shows every quantized layer contributes 0.3-3.7%
+alone (the model is sensitive everywhere, not at one bad layer), and
+quantile-clipped calibration is strictly worse (see quantize_vae's
+calib_quantile note): the activation distributions are heavy-tailed
+with the signal in the tail.  Conclusion: per-tensor-activation int8
+PTQ does not preserve this VAE's photometry once it is well-trained;
+recovering int8 throughput would need QAT or per-channel activation
+handling, neither of which this serving path implements.  The mode and
+its measured envelope stay in-tree as validated infrastructure and a
+recorded negative result (tests/test_quantized.py pins the envelope).
 
 This is an OPT-IN serving mode: the reference contract (PARITY.md) is the
 float path; int8 trades a measured, documented accuracy delta for
@@ -123,6 +138,17 @@ def _amax(h: jax.Array) -> jax.Array:
     return jnp.max(jnp.abs(h.astype(jnp.float32)))
 
 
+def _calib_stat(h: jax.Array, q: float = 1.0) -> jax.Array:
+    """Per-tensor calibration statistic: abs-max (q >= 1) or the q-quantile
+    of |h| (activation-outlier clipping — with converged weights a handful
+    of outlier activations otherwise set the scale and squeeze the bulk of
+    the distribution into a few int8 levels)."""
+    a = jnp.abs(h.astype(jnp.float32))
+    if q >= 1.0:
+        return jnp.max(a)
+    return jnp.quantile(a.ravel(), q)
+
+
 # ----------------------------------------------------------------- container
 
 
@@ -169,7 +195,7 @@ def _apply_conv(
     """Conv3x3 SAME, float or int8 depending on whether `name` is quantized."""
     p = params[name.split("/")[-1]]
     if collect is not None:
-        collect[name] = _amax(h)
+        collect[name] = _calib_stat(h, getattr(collect, "q", 1.0))
     if qw is not None and name in qw:
         qk, wscale = qw[name]
         s_in = ascales[name]
@@ -212,7 +238,7 @@ def _apply_convT(
     axis 2, so per-output-channel weight scales index that axis."""
     p = params[name.split("/")[-1]]
     if collect is not None:
-        collect[name] = _amax(h)
+        collect[name] = _calib_stat(h, getattr(collect, "q", 1.0))
     if qw is not None and name in qw:
         qk, wscale = qw[name]
         s_in = ascales[name]
@@ -249,7 +275,7 @@ def _apply_dense(
 ) -> jax.Array:
     p = params[name.split("/")[-1]]
     if collect is not None:
-        collect[name] = _amax(h)
+        collect[name] = _calib_stat(h, getattr(collect, "q", 1.0))
     if qw is not None and name in qw:
         qk, wscale = qw[name]
         s_in = ascales[name]
@@ -367,6 +393,7 @@ def quantize_vae(
     quantize_final_conv: bool = False,
     normalise: bool = False,
     layers: "list[str] | None" = None,
+    calib_quantile: float = 1.0,
 ) -> QuantizedVAE:
     """Calibrate activation scales on `calib_images` and quantize weights.
 
@@ -378,6 +405,17 @@ def quantize_vae(
     ``normalise=True`` calibrates on tanh(arcsinh(x))-normalized stamps;
     pass it when the serving pipeline will run with ``normalise=True``
     (DeblendField rejects a mismatch — see QuantizedVAE.normalise).
+
+    ``calib_quantile`` sets the per-tensor activation calibration statistic:
+    1.0 (default) = abs-max over the calibration batch; q < 1 clips to the
+    q-quantile of |h|.  MEASURED NEGATIVE RESULT (round 3, converged
+    sim_demo weights): quantile clipping makes accuracy strictly WORSE
+    (flux rel err mean 0.22 at q=1.0 -> 0.28 at q=0.99995 -> 0.44 at
+    q=0.9995) because this model's activation distributions are
+    heavy-tailed with the *signal in the tail* — most pixels are
+    near-zero background, the galaxy flux IS the outlier — so outlier
+    clipping throws away exactly the activations photometry needs.  The
+    knob stays for experimentation; do not lower it expecting accuracy.
 
     ``layers`` overrides the default layer selection with an explicit set
     of quantization-point names (see _layer_names for the naming scheme) —
@@ -411,12 +449,15 @@ def quantize_vae(
         x = normalize_non_linear(x)
     rng = jax.random.PRNGKey(0) if rng is None else rng
 
+    class _Collect(dict):
+        q = float(calib_quantile)
+
     @jax.jit
     def calib(variables, x, rng):
-        collect: dict[str, jax.Array] = {}
+        collect = _Collect()
         # sample mode so the decoder sees the latent spread it will serve
         _forward(cfg, variables, x, rng, "sample", None, None, collect)
-        return collect
+        return dict(collect)
 
     amax = calib(variables, x, rng)
     act_scales = {

@@ -6,9 +6,12 @@ its nearest analogue to a re-expressed serving graph is the tf2onnx export
 notebook.  Here the opt-in path is post-training int8 quantization
 (models/quantized.py): per-output-channel int8 weights, per-tensor
 activation scales calibrated on representative stamps, s8xs8->s32 MXU
-accumulation.  Measured accuracy with the shipped sim_demo weights:
-total-stamp flux rel err ~0.1-0.2%, pixel RMSE ratio ~0.5% — documented
-in tests/test_quantized.py and BASELINE.md.
+accumulation.  Measured accuracy with the round-3 retrained sim_demo
+weights: total-stamp flux rel err ~20% mean — NOT photometry-grade on
+converged weights (the earlier sub-percent numbers were an artifact of
+the barely-trained r2 demo checkpoint); see models/quantized.py's
+accuracy note, tests/test_quantized.py and BASELINE.md.  This example
+demonstrates the mechanics and the measured envelope.
 
 Run: python examples/quantized_serving.py
 """

@@ -346,9 +346,18 @@ def test_decoder_subpixel_gradients_match():
 def test_decoder_f32_stages_mixed_precision():
     """decoder_f32_stages runs the decoder's LAST N stage-pairs (+ head
     conv) in fp32: same param tree, fp32 model bit-unaffected, and the
-    bf16 error vs fp32 shrinks monotonically-in-practice as N grows
-    (measured ladder: 5.4e-4 -> 6e-5 -> 1e-5 total-flux rel err on
-    sim_demo weights — here random init, so bounds are loose)."""
+    stage dtypes actually split (pinned via captured intermediates).
+
+    NOTE (round 3, re-measured with the retrained sim_demo weights): with
+    CONVERGED weights the bf16-vs-fp32 flux error is distributed across
+    the whole network (~2.5e-3 mean / 8e-3 max total-flux rel err, roughly
+    equal encoder and decoder shares), so precision placement no longer
+    isolates it -- the earlier ladder (5.4e-4 -> 6e-5 -> 1e-5 on the
+    96-step r2 demo weights) was an artifact of a barely-trained model
+    whose error lived in the decoder tail.  The fidelity-clause-compliant
+    serving mode is fp32 (BASELINE.md round-3 precision notes).  The flag
+    remains a correct, checkpoint-compatible mechanism; this test pins the
+    mechanism, not a weight-dependent error ordering."""
     cfg32 = ModelConfig()
     m32 = DeblenderVAE(cfg32)
     variables = init_vae(m32, jax.random.PRNGKey(0))
@@ -361,8 +370,28 @@ def test_decoder_f32_stages_mixed_precision():
         ref, np.asarray(m32b.apply(variables, x, z_mode="mean")[0].loc, np.float64)
     )
 
-    # the error ladder needs trained weights: random init's near-zero
-    # decoder outputs hide the late-stage rounding the flag removes
+    # mechanism: under dtype=bfloat16 with f32_stages=1, the last stage
+    # pair (ConvTranspose2DTF_6/_7, built from filter index 0) and the head
+    # conv emit float32 while the earlier stages emit bfloat16
+    mbf = DeblenderVAE(ModelConfig(dtype="bfloat16", decoder_f32_stages=1))
+    _, st = mbf.apply(
+        variables, x, z_mode="mean",
+        mutable=["intermediates"], capture_intermediates=True,
+    )
+    dec = st["intermediates"]["decoder"]
+    for name, want in [
+        ("ConvTranspose2DTF_0", jnp.bfloat16),
+        ("ConvTranspose2DTF_5", jnp.bfloat16),
+        ("ConvTranspose2DTF_6", jnp.float32),
+        ("ConvTranspose2DTF_7", jnp.float32),
+        ("Conv_0", jnp.float32),
+    ]:
+        got = dec[name]["__call__"][0].dtype
+        assert got == want, f"{name}: {got} != {want}"
+
+    # bf16 outputs (any placement) stay within the distributed-rounding
+    # envelope measured on trained weights (~8e-3 max); gross blowups
+    # would indicate broken plumbing rather than rounding
     from debvader_tpu.data.simulate import simulate_batch
     from debvader_tpu.training.checkpoint import load_deblender
 
@@ -378,9 +407,9 @@ def test_decoder_f32_stages_mixed_precision():
         tot, tr = loc.sum(axis=(1, 2, 3)), tref.sum(axis=(1, 2, 3))
         return (np.abs(tot - tr) / np.maximum(np.abs(tr), 1e-9)).max()
 
-    e0, e2 = flux_err(0), flux_err(2)
-    assert e2 < e0 * 0.5, f"mixed precision did not help: {e0} -> {e2}"
-    assert e2 < 1e-4, f"f32_stages=2 above the fidelity clause: {e2}"
+    for n in (0, 2):
+        e = flux_err(n)
+        assert e < 3e-2, f"bf16 f32_stages={n} error {e} beyond rounding envelope"
 
     with pytest.raises(ValueError, match="decoder_f32_stages"):
         ModelConfig(decoder_f32_stages=5)

@@ -145,20 +145,22 @@ def test_sim_demo_golden_forward_outputs():
     loc, scale = np.asarray(dist.loc), np.asarray(dist.scale)
     zloc = np.asarray(post.mean())
     assert loc.shape == (10, 59, 59, 6)
-    np.testing.assert_allclose(loc.sum(), 604.73352, rtol=1e-4)
-    np.testing.assert_allclose(scale.sum(), 864.75946, rtol=1e-4)
-    np.testing.assert_allclose(zloc.sum(), 41.306221, rtol=1e-4)
+    np.testing.assert_allclose(loc.sum(), 1763.6484, rtol=1e-4)
+    np.testing.assert_allclose(scale.sum(), 290.38025, rtol=1e-4)
+    np.testing.assert_allclose(zloc.sum(), -31.350805, rtol=1e-4)
     golden = {
-        (0, 29, 29, 2): (0.0028021038, 0.0041462816),
-        (3, 10, 45, 0): (0.0, 0.0034343924),
-        (7, 50, 5, 5): (0.0037671491, 0.0033529550),
-        (9, 29, 29, 3): (0.0060553616, 0.0060731508),
+        (0, 29, 29, 2): (1.4219792, 0.14408506),
+        (3, 30, 28, 0): (0.40112355, 0.08850836),
+        (7, 25, 33, 5): (0.10578227, 0.023512967),
+        (9, 29, 29, 3): (0.68706632, 0.056985065),
     }
     for p, (gl, gs) in golden.items():
         np.testing.assert_allclose(loc[p], gl, rtol=1e-4, atol=1e-9)
         np.testing.assert_allclose(scale[p], gs, rtol=1e-4)
     np.testing.assert_allclose(
-        zloc[0, :4], [0.19583984, 0.20223542, 0.07130433, 0.20254247], rtol=1e-4
+        zloc[0, :4],
+        [-0.09396201, -2.2138171, -0.09435119, -0.08364076],
+        rtol=1e-4,
     )
 
 
