@@ -47,6 +47,15 @@ def _model_flags(p: argparse.ArgumentParser) -> None:
         "err) and this flag no longer isolates it; the <=1e-4-compliant "
         "serving mode is --dtype float32 (BASELINE.md round-3 notes)",
     )
+    p.add_argument(
+        "--matmul-precision", default=None,
+        choices=["default", "high", "highest"],
+        help="MXU pass count for float32 matmuls/convs.  On TPU the default "
+        "rounds fp32 matmul inputs to bfloat16 (one pass, measured 6.7e-3 "
+        "max flux err vs true fp32); the <=1e-4-vs-Keras fidelity clause "
+        "needs 'highest' (6-pass, 1.1e-6; 3-pass 'high' lands just over at "
+        "1.85e-4) — scripts/bench_precision.py measures the ladder",
+    )
 
 
 def _load_net(args):
@@ -70,6 +79,7 @@ def _load_net(args):
                 kernels=kernels,
                 dtype=args.dtype,
                 decoder_f32_stages=args.f32_stages,
+                matmul_precision=args.matmul_precision,
             )
         )
         return model, load_weights_from(args.weights)
@@ -81,6 +91,7 @@ def _load_net(args):
         kernels=kernels,
         dtype=args.dtype,
         decoder_f32_stages=args.f32_stages,
+        matmul_precision=args.matmul_precision,
     )
 
 

@@ -60,12 +60,28 @@ class ModelConfig:
     # (tests/test_model.py pins the dtype split).  0 = everything in
     # `dtype` (the fast default).
     decoder_f32_stages: int = 0
+    # MXU pass count for float32 matmuls/convs (jax.lax.Precision).  On TPU
+    # the hardware multiplies in bfloat16; None/'default' = one pass (each
+    # fp32 input ROUNDED to bf16 — fast, bf16-grade products with fp32
+    # accumulation), 'high' = 3 passes (bf16x3 operand splitting — drops
+    # the lo*lo term), 'highest' = 6 passes (full fp32 fidelity).
+    # Measured ladder vs true fp32 (scripts/bench_precision.py, converged
+    # sim_demo weights): default 6.7e-3 max flux rel err, high 1.85e-4,
+    # highest 1.1e-6 — so the DC2 <=1e-4-vs-Keras fidelity clause needs
+    # 'highest' on TPU ('high' lands just over).  Irrelevant off-TPU and
+    # for dtype='bfloat16' stages.
+    matmul_precision: str | None = None
 
     def __post_init__(self):
         if not 0 <= self.decoder_f32_stages <= len(self.filters):
             raise ValueError(
                 f"decoder_f32_stages must be in [0, {len(self.filters)}], "
                 f"got {self.decoder_f32_stages}"
+            )
+        if self.matmul_precision not in (None, "default", "high", "highest"):
+            raise ValueError(
+                "matmul_precision must be None, 'default', 'high' or "
+                f"'highest', got {self.matmul_precision!r}"
             )
 
     @property
@@ -75,6 +91,14 @@ class ModelConfig:
     @property
     def compute_dtype(self):
         return jnp.dtype(self.dtype)
+
+    @property
+    def lax_precision(self):
+        if self.matmul_precision is None:
+            return None
+        import jax
+
+        return jax.lax.Precision(self.matmul_precision)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -138,6 +138,7 @@ class SubpixelConv2D(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    precision: jax.lax.Precision | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -158,6 +159,7 @@ class SubpixelConv2D(nn.Module):
                 window_strides=(2, 2),
                 padding=((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=self.precision,
             )
             y = _depth_to_space(y)
         else:
@@ -167,6 +169,7 @@ class SubpixelConv2D(nn.Module):
                 window_strides=(1, 1),
                 padding="SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=self.precision,
             )
         return y + bias.astype(self.dtype)
 
@@ -215,6 +218,7 @@ class ConvTranspose2DTF(nn.Module):
     # The stored parameter keeps the TF (kh, kw, out, in) layout either way,
     # so checkpoints are interchangeable across the flag.
     subpixel: bool = False
+    precision: jax.lax.Precision | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -242,6 +246,7 @@ class ConvTranspose2DTF(nn.Module):
                 window_strides=(1, 1),
                 padding=((1, 0), (1, 0)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=self.precision,
             )
             y = _depth_to_space(y)
         elif use_subpixel:
@@ -252,6 +257,7 @@ class ConvTranspose2DTF(nn.Module):
                 window_strides=(2, 2),
                 padding=((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=self.precision,
             )
             y = _depth_to_space(y)
         else:
@@ -266,6 +272,7 @@ class ConvTranspose2DTF(nn.Module):
                 padding="SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 transpose_kernel=True,
+                precision=self.precision,
             )
         if self.use_bias:
             bias = self.param(

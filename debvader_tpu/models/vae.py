@@ -65,19 +65,24 @@ class Encoder(nn.Module):
             dtype=dtype,
             param_dtype=jnp.float32,
         )(x.astype(dtype))
+        prec = self.cfg.lax_precision
         for f, k in zip(self.cfg.filters, self.cfg.kernels):
-            h = nn.Conv(f, (k, k), padding="SAME", dtype=dtype, param_dtype=jnp.float32)(h)
+            h = nn.Conv(
+                f, (k, k), padding="SAME", dtype=dtype, param_dtype=jnp.float32,
+                precision=prec,
+            )(h)
             h = PReLU()(h)
             h = nn.Conv(
                 f, (k, k), strides=(2, 2), padding="SAME", dtype=dtype,
-                param_dtype=jnp.float32,
+                param_dtype=jnp.float32, precision=prec,
             )(h)
             h = PReLU()(h)
         # Row-major (H, W, C) flatten == Keras Flatten on channels-last.
         h = h.reshape(h.shape[0], -1)
         h = PReLU()(h)
         h = nn.Dense(
-            mvn_params_size(self.cfg.latent_dim), dtype=dtype, param_dtype=jnp.float32
+            mvn_params_size(self.cfg.latent_dim), dtype=dtype, param_dtype=jnp.float32,
+            precision=prec,
         )(h)
         return h.astype(jnp.float32)
 
@@ -92,14 +97,19 @@ class Decoder(nn.Module):
         cfg = self.cfg
         dtype = cfg.compute_dtype
         w = int(math.ceil(cfg.stamp_size / 2 ** len(cfg.filters)))
+        prec = cfg.lax_precision
         h = PReLU()(z.astype(dtype))
-        h = nn.Dense(mvn_params_size(cfg.latent_dim), dtype=dtype, param_dtype=jnp.float32)(h)
+        h = nn.Dense(
+            mvn_params_size(cfg.latent_dim), dtype=dtype, param_dtype=jnp.float32,
+            precision=prec,
+        )(h)
         h = PReLU()(h)
         # Reference casts to float32 before this Dense (model/model.py:117);
         # strict_cast=False keeps it in the compute dtype instead.
         dense2_dtype = jnp.float32 if cfg.strict_cast else dtype
         h = nn.Dense(
-            w * w * cfg.filters[-1], dtype=dense2_dtype, param_dtype=jnp.float32
+            w * w * cfg.filters[-1], dtype=dense2_dtype, param_dtype=jnp.float32,
+            precision=prec,
         )(h.astype(dense2_dtype))
         h = PReLU()(h)
         h = h.reshape(h.shape[0], w, w, cfg.filters[-1]).astype(dtype)
@@ -114,11 +124,12 @@ class Decoder(nn.Module):
             )
             h = ConvTranspose2DTF(
                 cfg.filters[i], k, strides=(2, 2), dtype=stage_dtype,
-                subpixel=cfg.decoder_subpixel,
+                subpixel=cfg.decoder_subpixel, precision=prec,
             )(h)
             h = PReLU()(h)
             h = ConvTranspose2DTF(
-                cfg.filters[i], k, strides=(1, 1), dtype=stage_dtype
+                cfg.filters[i], k, strides=(1, 1), dtype=stage_dtype,
+                precision=prec,
             )(h)
             h = PReLU()(h)
         head_dtype = jnp.float32 if cfg.decoder_f32_stages > 0 else dtype
@@ -126,12 +137,13 @@ class Decoder(nn.Module):
             # Same params at the same tree position ("Conv_0") as the stock
             # conv below — opt-in lane-occupancy recast, ckpt-compatible.
             h = SubpixelConv2D(
-                cfg.nb_of_bands * 2, dtype=head_dtype, name="Conv_0"
+                cfg.nb_of_bands * 2, dtype=head_dtype, name="Conv_0",
+                precision=prec,
             )(h)
         else:
             h = nn.Conv(
                 cfg.nb_of_bands * 2, (3, 3), padding="SAME", dtype=head_dtype,
-                param_dtype=jnp.float32,
+                param_dtype=jnp.float32, precision=prec,
             )(h)
         h = nn.relu(h)
         # Crop back to the stamp size; odd crops take one extra pixel at the

@@ -173,6 +173,7 @@ def load_deblender(
     weights_dir=None,
     dtype: str = "float32",
     decoder_f32_stages: int = 0,
+    matmul_precision: str | None = None,
 ):
     """Build the VAE and load survey weights (reference model/model.py:221-271).
 
@@ -191,6 +192,7 @@ def load_deblender(
         kernels=tuple(kernels),
         dtype=dtype,
         decoder_f32_stages=decoder_f32_stages,
+        matmul_precision=matmul_precision,
     )
     model = DeblenderVAE(cfg)
     variables = load_weights(survey, weights_dir=weights_dir)

@@ -8,6 +8,13 @@ this script measures, per N, the throughput cost and the flux error vs the
 full-fp32 forward, to find the cheapest N that clears the <=1e-4 fidelity
 clause on this hardware.
 
+CAVEAT (superseded measurement): this script's fidelity baseline is the
+on-TPU fp32 forward, which at jax.lax.Precision.DEFAULT itself rounds
+every matmul input to bfloat16 (measured 6.7e-3 max flux err vs true
+fp32).  scripts/bench_precision.py measures the real ladder against a
+CPU true-fp32 reference; the <=1e-4 serving mode is
+ModelConfig(matmul_precision='highest').
+
 Usage: python scripts/bench_mixed_precision.py [batch]
 """
 

@@ -1,0 +1,120 @@
+"""MXU precision ladder for the float32 serving forward.
+
+On TPU, jax.lax.Precision.DEFAULT rounds every float32 matmul/conv input
+to bfloat16 (one MXU pass, fp32 accumulation) — so a dtype='float32'
+model at the default precision is NOT doing fp32 math, and a fidelity
+measurement that uses the on-TPU fp32 forward as its own reference
+(scripts/bench_mixed_precision.py) cannot see that truncation.
+
+This script measures the real ladder against a CPU float32 forward
+(exact fp32 math, the stand-in for the reference's Keras fp32 output,
+/root/reference/src/debvader/model/model.py:221-266):
+
+    fp32 + HIGHEST (6-pass)  |  fp32 + HIGH (3-pass)  |  fp32 + DEFAULT
+    (1-pass)  |  bfloat16 compute
+
+reporting per-stamp total-flux relative error (the DC2 <=1e-4 clause's
+metric) and chained-timing throughput for each.
+
+Usage: python scripts/bench_precision.py [batch]
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from debvader_tpu.config import ModelConfig
+from debvader_tpu.models.vae import DeblenderVAE
+from debvader_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+
+
+def chain_time(fwd, x, rng, iters=10):
+    from debvader_tpu.utils.timing import median_seconds_per_iter
+
+    draws = itertools.count()
+
+    def step(prev):
+        y = x if prev is None else prev
+        return fwd(y, jax.random.fold_in(rng, next(draws)))
+
+    return median_seconds_per_iter(step, iters=iters, warmup_iters=5, reps=5)
+
+
+def main():
+    print(f"backend={jax.default_backend()} batch={BATCH}", flush=True)
+    from debvader_tpu.data.simulate import simulate_batch
+    from debvader_tpu.training.checkpoint import load_deblender
+
+    _, variables = load_deblender("sim_demo")
+    rng = jax.random.PRNGKey(1)
+    stamps, _, _ = simulate_batch(jax.random.PRNGKey(2), 512)
+    x = jnp.tile(
+        jnp.asarray(stamps, jnp.float32), (max(BATCH // 512, 1), 1, 1, 1)
+    )
+    test_np = np.asarray(simulate_batch(jax.random.PRNGKey(7), 256)[0], np.float32)
+
+    def build(dtype, precision):
+        model = DeblenderVAE(ModelConfig(dtype=dtype, matmul_precision=precision))
+
+        @jax.jit
+        def fwd(images, rng):
+            dist, _ = model.apply(variables, images, rng=rng)
+            return dist.loc
+
+        @jax.jit
+        def fwd_mean(images):
+            dist, _ = model.apply(variables, images, z_mode="mean")
+            return dist.loc
+
+        return fwd, fwd_mean
+
+    # Ground truth: exact fp32 math on the CPU backend.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        model = DeblenderVAE(ModelConfig())
+        cpu_vars = jax.device_put(
+            jax.tree_util.tree_map(np.asarray, variables), cpu
+        )
+        ref = np.asarray(
+            jax.jit(
+                lambda v, im: model.apply(v, im, z_mode="mean")[0].loc
+            )(cpu_vars, jax.device_put(test_np, cpu)),
+            np.float64,
+        )
+    tr = ref.sum(axis=(1, 2, 3))
+
+    rows = [
+        ("fp32 highest", "float32", "highest"),
+        ("fp32 high", "float32", "high"),
+        ("fp32 default", "float32", None),
+        ("bf16", "bfloat16", None),
+    ]
+    test = jnp.asarray(test_np)
+    for name, dtype, precision in rows:
+        fwd, fwd_mean = build(dtype, precision)
+        loc = np.asarray(fwd_mean(test), np.float64)
+        tot = loc.sum(axis=(1, 2, 3))
+        rel = np.abs(tot - tr) / np.maximum(np.abs(tr), 1e-9)
+        px = np.sqrt(((loc - ref) ** 2).mean()) / max(np.sqrt((ref**2).mean()), 1e-12)
+        dt = chain_time(fwd, x, rng)
+        print(
+            f"{name:>14}: {dt * 1e3:7.2f} ms/batch {BATCH / dt:9.0f} stamps/s"
+            f"  flux err vs CPU-fp32 mean {rel.mean():.2e} max {rel.max():.2e}"
+            f"  pixel rmse ratio {px:.2e}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -413,3 +413,28 @@ def test_decoder_f32_stages_mixed_precision():
 
     with pytest.raises(ValueError, match="decoder_f32_stages"):
         ModelConfig(decoder_f32_stages=5)
+
+
+def test_matmul_precision_threads_through(vae_and_vars):
+    """matmul_precision changes no parameters and (on CPU, where every
+    precision is full fp32) no results; invalid values are rejected.  The
+    hardware ladder lives in scripts/bench_precision.py: on TPU the
+    DEFAULT precision rounds fp32 matmul inputs to bf16 (measured 6.7e-3
+    max flux err), so the <=1e-4-vs-Keras serving mode must set
+    'highest' (3-pass 'high' measures 1.85e-4, just over)."""
+    model, variables = vae_and_vars
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 59, 59, 6)), jnp.float32
+    )
+    ref = model.apply(variables, x, z_mode="mean")[0].loc
+    for prec in ("default", "high", "highest"):
+        m = DeblenderVAE(ModelConfig(matmul_precision=prec))
+        v2 = init_vae(m, jax.random.PRNGKey(0))
+        assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(
+            variables
+        )
+        loc = m.apply(variables, x, z_mode="mean")[0].loc
+        np.testing.assert_allclose(np.asarray(loc), np.asarray(ref), rtol=1e-6)
+
+    with pytest.raises(ValueError, match="matmul_precision"):
+        ModelConfig(matmul_precision="exact")
