@@ -14,7 +14,10 @@ Usage:
 """
 
 import argparse
+import sys
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
@@ -50,7 +53,11 @@ def main() -> int:
 
     if args.stamps:
         stamps = np.load(args.stamps).astype(np.float32)
-        model = DeblenderVAE(ModelConfig(nb_of_bands=stamps.shape[-1]))
+        # 'highest': true-fp32 MXU products, so the printed fluxes are
+        # comparable against a Keras fp32 forward (PARITY.md §7).
+        model = DeblenderVAE(
+            ModelConfig(nb_of_bands=stamps.shape[-1], matmul_precision="highest")
+        )
         dist, _ = model.apply(
             jax.tree_util.tree_map(jax.numpy.asarray, variables),
             stamps,
