@@ -45,7 +45,8 @@ def _model_flags(p: argparse.ArgumentParser) -> None:
         "under a bfloat16 forward.  NOTE: with converged weights the bf16 "
         "rounding error is distributed network-wide (~2.5e-3 mean flux rel "
         "err) and this flag no longer isolates it; the <=1e-4-compliant "
-        "serving mode is --dtype float32 (BASELINE.md round-3 notes)",
+        "serving mode is --matmul-precision highest (BASELINE.md round-3 "
+        "notes — --dtype float32 alone still rounds MXU inputs to bf16)",
     )
     p.add_argument(
         "--matmul-precision", default=None,

@@ -71,6 +71,24 @@ class ModelConfig:
     # 'highest' on TPU ('high' lands just over).  Irrelevant off-TPU and
     # for dtype='bfloat16' stages.
     matmul_precision: str | None = None
+    # Per-layer precision overrides: ((layer_key, rung), ...) pairs (a dict
+    # is accepted and canonicalized).  Layer keys name every MXU layer:
+    # 'enc/Conv_0'..'enc/Conv_{2S-1}', 'enc/Dense_0', 'dec/Dense_0',
+    # 'dec/Dense_1', 'dec/ConvT_0'..'dec/ConvT_{2S-1}' (application order,
+    # 0 = deepest), 'dec/Conv_0' (band head).  Rungs are the XLA-native
+    # 'default'/'high'/'highest' plus the explicit bf16-limb schemes of
+    # models/precision.py ('bf16x1/3/4/5/6/9') — bf16x9 is the exact fp32
+    # product lane-packed into ~3 one-pass costs at the low-channel decoder
+    # tail.  Unlisted layers fall back to `matmul_precision`.  Only
+    # meaningful for float32 compute.
+    layer_precision: tuple | None = None
+    # Execute the XLA-native rungs via explicit bf16 limbs (models/precision
+    # EMULATION map) so the CPU backend reproduces TPU MXU arithmetic —
+    # the error side of precision-placement search runs on host.
+    limb_emulation: bool = False
+
+    _RUNGS = ("default", "high", "highest",
+              "bf16x1", "bf16x3", "bf16x4", "bf16x5", "bf16x6", "bf16x9")
 
     def __post_init__(self):
         if not 0 <= self.decoder_f32_stages <= len(self.filters):
@@ -83,6 +101,27 @@ class ModelConfig:
                 "matmul_precision must be None, 'default', 'high' or "
                 f"'highest', got {self.matmul_precision!r}"
             )
+        if self.layer_precision is not None:
+            items = (
+                tuple(sorted(self.layer_precision.items()))
+                if isinstance(self.layer_precision, dict)
+                else tuple(tuple(kv) for kv in self.layer_precision)
+            )
+            for key, rung in items:
+                if rung not in self._RUNGS:
+                    raise ValueError(
+                        f"layer_precision[{key!r}] must be one of "
+                        f"{self._RUNGS}, got {rung!r}"
+                    )
+            object.__setattr__(self, "layer_precision", items)
+
+    def layer_rung(self, key: str) -> str | None:
+        """Precision rung for one MXU layer, or None = use matmul_precision."""
+        if self.layer_precision:
+            for k, rung in self.layer_precision:
+                if k == key:
+                    return rung
+        return None
 
     @property
     def input_shape(self) -> tuple[int, int, int]:
@@ -99,6 +138,21 @@ class ModelConfig:
         import jax
 
         return jax.lax.Precision(self.matmul_precision)
+
+
+def fidelity_serving_config(**overrides) -> "ModelConfig":
+    """The current <=1e-4-fidelity-clause serving configuration.
+
+    Single source of truth for "the compliant mode": bench.py, the CLI and
+    dc2_parity_check all build from here, so a faster compliant mode adopted
+    in one place propagates everywhere.  The clause (BASELINE.json
+    north_star) is <=1e-4 relative total-flux error vs the reference's true
+    fp32 Keras forward (/root/reference/src/debvader/model/model.py:164-218);
+    the measured ladder lives in scripts/bench_precision.py / BASELINE.md.
+    """
+    kw = dict(dtype="float32", matmul_precision="highest")
+    kw.update(overrides)
+    return ModelConfig(**kw)
 
 
 @dataclasses.dataclass(frozen=True)

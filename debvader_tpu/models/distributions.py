@@ -147,7 +147,17 @@ class MultivariateNormalTriL(NamedTuple):
     def sample(self, rng: jax.Array, sample_shape: tuple = ()) -> jax.Array:
         shape = sample_shape + self.loc.shape
         eps = jax.random.normal(rng, shape, dtype=self.loc.dtype)
-        return self.loc + jnp.einsum("...ij,...j->...i", self.scale_tril, eps)
+        # HIGHEST unconditionally: this (n, 32, 32) contraction is negligible
+        # next to the conv stacks, and pinning it keeps the z_mode='sample'
+        # path at full fp32 fidelity under every ModelConfig.matmul_precision
+        # setting (the knob governs the conv/dense stacks; without this the
+        # TPU default would bf16-round the one matmul the knob can't reach).
+        return self.loc + jnp.einsum(
+            "...ij,...j->...i",
+            self.scale_tril,
+            eps,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     def mean(self) -> jax.Array:
         return self.loc

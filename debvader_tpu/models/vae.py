@@ -38,6 +38,12 @@ from debvader_tpu.models.distributions import (
     softplus_tril,
 )
 from debvader_tpu.models.layers import ConvTranspose2DTF, PReLU, SubpixelConv2D
+from debvader_tpu.models.precision import (
+    MPConv,
+    MPConvTranspose2DTF,
+    MPDense,
+    resolve,
+)
 
 __all__ = [
     "Encoder",
@@ -48,6 +54,32 @@ __all__ = [
     "create_decoder",
     "init_vae",
 ]
+
+
+def _make_conv(cfg, key, name, features, kernel, strides, dtype):
+    """nn.Conv or its explicit-limb MPConv twin, per cfg's rung for ``key``.
+
+    Explicit names keep the param tree identical across precision configs
+    (checkpoints stay flag-interchangeable)."""
+    prec, scheme = resolve(cfg, key)
+    if scheme is None:
+        return nn.Conv(
+            features, kernel, strides=strides, padding="SAME", dtype=dtype,
+            param_dtype=jnp.float32, precision=prec, name=name,
+        )
+    return MPConv(
+        features, kernel, strides=strides or (1, 1), scheme=scheme, name=name
+    )
+
+
+def _make_dense(cfg, key, name, features, dtype):
+    prec, scheme = resolve(cfg, key)
+    if scheme is None:
+        return nn.Dense(
+            features, dtype=dtype, param_dtype=jnp.float32, precision=prec,
+            name=name,
+        )
+    return MPDense(features, scheme=scheme, name=name)
 
 
 class Encoder(nn.Module):
@@ -65,24 +97,21 @@ class Encoder(nn.Module):
             dtype=dtype,
             param_dtype=jnp.float32,
         )(x.astype(dtype))
-        prec = self.cfg.lax_precision
+        ci = 0
         for f, k in zip(self.cfg.filters, self.cfg.kernels):
-            h = nn.Conv(
-                f, (k, k), padding="SAME", dtype=dtype, param_dtype=jnp.float32,
-                precision=prec,
-            )(h)
-            h = PReLU()(h)
-            h = nn.Conv(
-                f, (k, k), strides=(2, 2), padding="SAME", dtype=dtype,
-                param_dtype=jnp.float32, precision=prec,
-            )(h)
-            h = PReLU()(h)
+            for strides in (None, (2, 2)):
+                h = _make_conv(
+                    self.cfg, f"enc/Conv_{ci}", f"Conv_{ci}", f, (k, k),
+                    strides, dtype,
+                )(h)
+                h = PReLU()(h)
+                ci += 1
         # Row-major (H, W, C) flatten == Keras Flatten on channels-last.
         h = h.reshape(h.shape[0], -1)
         h = PReLU()(h)
-        h = nn.Dense(
-            mvn_params_size(self.cfg.latent_dim), dtype=dtype, param_dtype=jnp.float32,
-            precision=prec,
+        h = _make_dense(
+            self.cfg, "enc/Dense_0", "Dense_0",
+            mvn_params_size(self.cfg.latent_dim), dtype,
         )(h)
         return h.astype(jnp.float32)
 
@@ -99,20 +128,21 @@ class Decoder(nn.Module):
         w = int(math.ceil(cfg.stamp_size / 2 ** len(cfg.filters)))
         prec = cfg.lax_precision
         h = PReLU()(z.astype(dtype))
-        h = nn.Dense(
-            mvn_params_size(cfg.latent_dim), dtype=dtype, param_dtype=jnp.float32,
-            precision=prec,
+        h = _make_dense(
+            cfg, "dec/Dense_0", "Dense_0", mvn_params_size(cfg.latent_dim),
+            dtype,
         )(h)
         h = PReLU()(h)
         # Reference casts to float32 before this Dense (model/model.py:117);
         # strict_cast=False keeps it in the compute dtype instead.
         dense2_dtype = jnp.float32 if cfg.strict_cast else dtype
-        h = nn.Dense(
-            w * w * cfg.filters[-1], dtype=dense2_dtype, param_dtype=jnp.float32,
-            precision=prec,
+        h = _make_dense(
+            cfg, "dec/Dense_1", "Dense_1", w * w * cfg.filters[-1],
+            dense2_dtype,
         )(h.astype(dense2_dtype))
         h = PReLU()(h)
         h = h.reshape(h.shape[0], w, w, cfg.filters[-1]).astype(dtype)
+        ti = 0
         for i in range(len(cfg.filters) - 1, -1, -1):
             k = (cfg.kernels[i], cfg.kernels[i])
             # Mixed-precision serving: the last decoder_f32_stages pairs
@@ -122,28 +152,39 @@ class Decoder(nn.Module):
             stage_dtype = (
                 jnp.float32 if i < cfg.decoder_f32_stages else dtype
             )
-            h = ConvTranspose2DTF(
-                cfg.filters[i], k, strides=(2, 2), dtype=stage_dtype,
-                subpixel=cfg.decoder_subpixel, precision=prec,
-            )(h)
-            h = PReLU()(h)
-            h = ConvTranspose2DTF(
-                cfg.filters[i], k, strides=(1, 1), dtype=stage_dtype,
-                precision=prec,
-            )(h)
-            h = PReLU()(h)
+            for strides in ((2, 2), (1, 1)):
+                convt_prec, convt_scheme = resolve(cfg, f"dec/ConvT_{ti}")
+                name = f"ConvTranspose2DTF_{ti}"
+                if convt_scheme is None:
+                    h = ConvTranspose2DTF(
+                        cfg.filters[i], k, strides=strides, dtype=stage_dtype,
+                        subpixel=cfg.decoder_subpixel and strides == (2, 2),
+                        precision=convt_prec, name=name,
+                    )(h)
+                else:
+                    h = MPConvTranspose2DTF(
+                        cfg.filters[i], k, strides=strides,
+                        scheme=convt_scheme, name=name,
+                    )(h)
+                h = PReLU()(h)
+                ti += 1
         head_dtype = jnp.float32 if cfg.decoder_f32_stages > 0 else dtype
-        if cfg.decoder_subpixel:
+        head_prec, head_scheme = resolve(cfg, "dec/Conv_0")
+        if head_scheme is not None:
+            h = MPConv(
+                cfg.nb_of_bands * 2, (3, 3), scheme=head_scheme, name="Conv_0"
+            )(h)
+        elif cfg.decoder_subpixel:
             # Same params at the same tree position ("Conv_0") as the stock
             # conv below — opt-in lane-occupancy recast, ckpt-compatible.
             h = SubpixelConv2D(
                 cfg.nb_of_bands * 2, dtype=head_dtype, name="Conv_0",
-                precision=prec,
+                precision=head_prec,
             )(h)
         else:
             h = nn.Conv(
                 cfg.nb_of_bands * 2, (3, 3), padding="SAME", dtype=head_dtype,
-                param_dtype=jnp.float32, precision=prec,
+                param_dtype=jnp.float32, precision=head_prec, name="Conv_0",
             )(h)
         h = nn.relu(h)
         # Crop back to the stamp size; odd crops take one extra pixel at the

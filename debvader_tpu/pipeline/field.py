@@ -650,6 +650,19 @@ class DeblendField:
                 "output_images_mean": dist.mean(),
                 "output_images_stddev": dist.stddev(),
                 "epistemic_uncertainty": epi_dev,
+                # Content checksums of the host copies: _stacked recomputes
+                # and compares before serving the device-resident stamps, so
+                # in-place edits of the returned recarray invalidate the
+                # cache instead of silently rendering stale device data.
+                "cksum": {
+                    col: self._stamps_checksum(self.res_deblend, col)
+                    for col, dev in (
+                        ("output_images_mean", True),
+                        ("output_images_stddev", True),
+                        ("epistemic_uncertainty", epi_dev is not None),
+                    )
+                    if dev
+                },
             }
         else:
             self._render_cache = None
@@ -1131,23 +1144,43 @@ class DeblendField:
         return None, dist
 
     # ------------------------------------------------------------ rendering
+    def _stamps_checksum(self, res_deblend, key) -> tuple:
+        """Content checksum of one stamp column: plain float64 sum plus a
+        period-64 position-weighted sum (the ``_field_checksum`` pattern),
+        accumulated row by row so the column never has to be re-stacked.
+        Any in-place edit of a cached recarray's stamps changes it unless
+        the edit compensates exactly under both weightings at 64-element
+        period — the same collision bar the field-upload cache uses.  NaNs
+        poison the sums, which fails the comparison and conservatively
+        re-uploads.  Cost is one pass over the host copies (~0.6 s/GB, and
+        the cache is capped at ``render_cache_bytes``), far below the
+        device upload it guards."""
+        w = self._CKSUM_W
+        tot = 0.0
+        wtot = 0.0
+        for row in res_deblend:
+            flat = np.ravel(np.asarray(row[key], np.float64))
+            n = (flat.size // 64) * 64
+            tot += float(np.sum(flat, dtype=np.float64))
+            wtot += float(flat[:n].reshape(-1, 64).sum(axis=0, dtype=np.float64) @ w)
+            if flat.size > n:
+                wtot += float(flat[n:] @ w[: flat.size - n])
+        return (tot, wtot)
+
     def _stacked(self, res_deblend, key):
         """Stamp stack for rendering.  If ``res_deblend`` is the recarray
-        the last deblend_field call produced, the device-resident copy is
+        the last deblend_field call produced — by identity AND by content
+        checksum of the requested column — the device-resident copy is
         returned (render_field consumes it directly, skipping a full
-        host->device re-upload of the stamp batch).
-
-        The cache key is recarray *identity*: editing stamp columns of the
-        returned recarray in place (e.g. masking one source's
-        output_images_mean) does NOT invalidate it — call
-        ``drop_render_cache()`` before re-rendering an edited recarray
-        (content-hashing the ~GB stamp stack per render would cost more
-        than the upload the cache saves on typical fields)."""
+        host->device re-upload of the stamp batch).  Editing stamp columns
+        of the returned recarray in place therefore invalidates the cache
+        and the edit is honored on the next render."""
         cache = getattr(self, "_render_cache", None)
         if (
             cache is not None
             and res_deblend is cache["token"]
             and cache.get(key) is not None
+            and cache["cksum"].get(key) == self._stamps_checksum(res_deblend, key)
         ):
             return cache[key]
         return np.stack([np.asarray(row[key]) for row in res_deblend]).astype(

@@ -59,9 +59,10 @@ def main():
     _, variables = load_deblender("sim_demo")
     rng = jax.random.PRNGKey(1)
     stamps, _, _ = simulate_batch(jax.random.PRNGKey(2), 512)
-    x = jnp.tile(
-        jnp.asarray(stamps, jnp.float32), (max(BATCH // 512, 1), 1, 1, 1)
-    )
+    # Ceil-tile then slice so the timed batch is exactly BATCH rows (the
+    # printed stamps/s divides by BATCH).
+    reps_needed = -(-BATCH // 512)
+    x = jnp.tile(jnp.asarray(stamps, jnp.float32), (reps_needed, 1, 1, 1))[:BATCH]
     test_np = np.asarray(simulate_batch(jax.random.PRNGKey(7), 256)[0], np.float32)
 
     def build(dtype, precision):

