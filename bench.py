@@ -42,12 +42,18 @@ NORTH_STAR = 1e5  # stamps/sec/chip, BASELINE.json
 BATCH = 4096
 
 
-def _measure(cfg) -> float:
+def _measure(cfg, flux_cal: bool = False) -> float:
     from debvader_tpu.models.vae import DeblenderVAE, init_vae
     from debvader_tpu.utils.timing import median_seconds_per_iter
 
     model = DeblenderVAE(cfg)
     variables = init_vae(model, jax.random.PRNGKey(0))
+    if flux_cal:
+        from debvader_tpu.utils.flux_cal import attach_flux_calibration
+
+        # the fidelity mode serves with the per-band correction applied;
+        # include its (elementwise, ~free) cost in the timed forward
+        variables = attach_flux_calibration(model, variables)
 
     @jax.jit
     def fwd(variables, x, rng):
@@ -90,11 +96,14 @@ def main():
     # north-star clause bf16 does not meet.  Config comes from
     # fidelity_serving_config() — the single source of truth that the CLI
     # and dc2_parity_check also use.
+    from debvader_tpu.config import FIDELITY_NEEDS_FLUX_CAL
+
     fidelity_cfg = fidelity_serving_config()
-    fidelity = _measure(fidelity_cfg)
+    fidelity = _measure(fidelity_cfg, flux_cal=FIDELITY_NEEDS_FLUX_CAL)
     fidelity_desc = (
         f"dtype={fidelity_cfg.dtype},matmul_precision="
         f"{fidelity_cfg.matmul_precision},"
+        f"flux_cal={'on' if FIDELITY_NEEDS_FLUX_CAL else 'off'},"
         f"layer_precision={'set' if getattr(fidelity_cfg, 'layer_precision', None) else 'none'}"
     )
     print(f"fidelity ({fidelity_desc}): {fidelity:,.0f} stamps/s", file=sys.stderr)

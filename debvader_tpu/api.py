@@ -57,11 +57,17 @@ def deblend_jit(
     Non-finite pixels (chip gaps, saturation) enter the network as 0 —
     background level for sky-subtracted stamps — instead of propagating
     NaN through every conv into the outputs."""
+    from debvader_tpu.utils.flux_cal import apply_flux_calibration
+
     x = images.astype(jnp.float32)
     x = jnp.where(jnp.isfinite(x), x, 0.0)
     if normalise:
         x = normalize_non_linear(x)
     dist, _ = model.apply(variables, x, rng=rng, z_mode=z_mode)
+    # Fidelity-mode photometric correction (utils/flux_cal.py) — a no-op
+    # unless the variables carry a flux_cal collection.  Applied in network
+    # space, before any denormalization.
+    dist = apply_flux_calibration(dist, variables)
     if normalise:
         dist = denormalize_distribution(dist)
     return dist
@@ -305,6 +311,9 @@ def _sample_decode_jit(model, variables, loc, tril, rng, reps, normalise):
     )
     z = posterior.sample(rng)
     dist = model.apply(variables, z, method=lambda m, z: m.decode(z))
+    from debvader_tpu.utils.flux_cal import apply_flux_calibration
+
+    dist = apply_flux_calibration(dist, variables)
     if normalise:
         dist = denormalize_distribution(dist)
     return dist.loc.reshape((reps, n) + dist.loc.shape[1:])

@@ -53,9 +53,18 @@ def _model_flags(p: argparse.ArgumentParser) -> None:
         choices=["default", "high", "highest"],
         help="MXU pass count for float32 matmuls/convs.  On TPU the default "
         "rounds fp32 matmul inputs to bfloat16 (one pass, measured 6.7e-3 "
-        "max flux err vs true fp32); the <=1e-4-vs-Keras fidelity clause "
-        "needs 'highest' (6-pass, 1.1e-6; 3-pass 'high' lands just over at "
-        "1.85e-4) — scripts/bench_precision.py measures the ladder",
+        "max flux err vs true fp32); 'high' is 3 passes (1.85e-4 raw, "
+        "6.0e-5 with --flux-calibration — the fidelity serving mode), "
+        "'highest' 6 passes (1.1e-6) — scripts/bench_precision.py measures "
+        "the ladder",
+    )
+    p.add_argument(
+        "--flux-calibration", action="store_true",
+        help="measure and divide out the forward's systematic per-band "
+        "flux gain vs its own HIGHEST-precision forward (one-time "
+        "~128-stamp cost at load; utils/flux_cal.py).  With "
+        "--matmul-precision high this is the <=1e-4 fidelity serving "
+        "mode at ~1.8x the throughput of 'highest'",
     )
 
 
@@ -67,6 +76,7 @@ def _load_net(args):
 
     shape = (args.stamp_size, args.stamp_size, args.bands)
     kernels = (3,) * len(args.filters)
+    flux_cal = getattr(args, "flux_calibration", False)
     if args.weights and Path(args.weights).exists():
         from debvader_tpu.config import ModelConfig
         from debvader_tpu.models.vae import DeblenderVAE
@@ -83,7 +93,12 @@ def _load_net(args):
                 matmul_precision=args.matmul_precision,
             )
         )
-        return model, load_weights_from(args.weights)
+        variables = load_weights_from(args.weights)
+        if flux_cal:
+            from debvader_tpu.utils.flux_cal import attach_flux_calibration
+
+            variables = attach_flux_calibration(model, variables)
+        return model, variables
     return load_deblender(
         args.weights or "sim_demo",
         input_shape=shape,
@@ -93,6 +108,7 @@ def _load_net(args):
         dtype=args.dtype,
         decoder_f32_stages=args.f32_stages,
         matmul_precision=args.matmul_precision,
+        flux_calibration=flux_cal,
     )
 
 

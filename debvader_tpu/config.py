@@ -87,8 +87,8 @@ class ModelConfig:
     # the error side of precision-placement search runs on host.
     limb_emulation: bool = False
 
-    _RUNGS = ("default", "high", "highest",
-              "bf16x1", "bf16x3", "bf16x4", "bf16x5", "bf16x6", "bf16x9")
+    _RUNGS = ("default", "high", "highest", "bf16x1", "bf16x3t",
+              "bf16x3", "bf16x4", "bf16x5", "bf16x6", "bf16x9")
 
     def __post_init__(self):
         if not 0 <= self.decoder_f32_stages <= len(self.filters):
@@ -149,10 +149,22 @@ def fidelity_serving_config(**overrides) -> "ModelConfig":
     north_star) is <=1e-4 relative total-flux error vs the reference's true
     fp32 Keras forward (/root/reference/src/debvader/model/model.py:164-218);
     the measured ladder lives in scripts/bench_precision.py / BASELINE.md.
+
+    Round-4 mode: 3-pass HIGH arithmetic plus per-band photometric
+    calibration of its systematic truncation bias (utils/flux_cal.py) —
+    measured max flux rel err 6.0e-5 at ~1.8x the throughput of the
+    round-3 HIGHEST mode.  Weights must be loaded with
+    ``load_deblender(..., flux_calibration=True)`` (this config's
+    ``requires_flux_calibration`` marker is how loaders know).
     """
-    kw = dict(dtype="float32", matmul_precision="highest")
+    kw = dict(dtype="float32", matmul_precision="high")
     kw.update(overrides)
     return ModelConfig(**kw)
+
+
+# Marker consulted by bench.py / CLI: the fidelity mode above is only
+# compliant when the flux_cal collection is attached at load.
+FIDELITY_NEEDS_FLUX_CAL = True
 
 
 @dataclasses.dataclass(frozen=True)

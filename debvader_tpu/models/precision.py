@@ -60,16 +60,22 @@ __all__ = [
     "resolve",
 ]
 
-# scheme -> (number of limbs, ((x_limb, w_limb), ...)); limb 0 = high.
-# Term sets are ordered so the largest-magnitude product accumulates first.
-SCHEMES: dict[str, tuple[int, tuple[tuple[int, int], ...]]] = {
+# scheme -> (number of limbs, ((x_limb, w_limb), ...), split_mode);
+# limb 0 = high.  split_mode 'rne' = round-to-nearest (reduce_precision);
+# 'rtz' = truncate toward zero — what XLA's own bf16_3x decomposition uses:
+# measured on hardware, native HIGH's output matches the RTZ 2-limb 3-term
+# emulation to ~its own epsilon and is ~3x LESS accurate than the RNE split
+# at the same pass count (single-matmul probe, BASELINE.md r4).  Term sets
+# are ordered so the largest-magnitude product accumulates first.
+SCHEMES: dict[str, tuple[int, tuple[tuple[int, int], ...], str]] = {
     # native-equivalents (used for CPU emulation of the XLA rungs)
-    "bf16x1": (1, ((0, 0),)),
-    "bf16x3": (2, ((0, 0), (0, 1), (1, 0))),
-    # intermediate rungs XLA does not offer
-    "bf16x4": (2, ((0, 0), (0, 1), (1, 0), (1, 1))),
-    "bf16x5": (3, ((0, 0), (0, 1), (1, 0), (0, 2), (2, 0))),
-    "bf16x6": (3, ((0, 0), (0, 1), (1, 0), (1, 1), (0, 2), (2, 0))),
+    "bf16x1": (1, ((0, 0),), "rne"),
+    "bf16x3t": (2, ((0, 0), (0, 1), (1, 0)), "rtz"),
+    # RNE rungs — better error per pass than the native ladder
+    "bf16x3": (2, ((0, 0), (0, 1), (1, 0)), "rne"),
+    "bf16x4": (2, ((0, 0), (0, 1), (1, 0), (1, 1)), "rne"),
+    "bf16x5": (3, ((0, 0), (0, 1), (1, 0), (0, 2), (2, 0)), "rne"),
+    "bf16x6": (3, ((0, 0), (0, 1), (1, 0), (1, 1), (0, 2), (2, 0)), "rne"),
     # exact product of the 3-limb (= full fp32) representation
     "bf16x9": (
         3,
@@ -77,33 +83,54 @@ SCHEMES: dict[str, tuple[int, tuple[tuple[int, int], ...]]] = {
             (0, 0), (0, 1), (1, 0), (1, 1), (0, 2), (2, 0),
             (1, 2), (2, 1), (2, 2),
         ),
+        "rne",
     ),
 }
 
 # How the XLA-native rungs are reproduced with explicit limbs (CPU emulation
-# of TPU arithmetic).  None = Precision.DEFAULT.
+# of TPU arithmetic).  None = Precision.DEFAULT (one RNE-rounded pass —
+# matches the native output bit-for-bit on hardware).  'high' is the RTZ
+# decomposition above.  'highest' is indistinguishable from the RNE 6-term
+# at its own ~1e-6 error level (probe), so the RNE set stands in.
 EMULATION: dict[str | None, str] = {
     None: "bf16x1",
     "default": "bf16x1",
-    "high": "bf16x3",
+    "high": "bf16x3t",
     "highest": "bf16x6",
 }
 
 NATIVE_RUNGS = ("default", "high", "highest")
 
 
-def split_limbs(x: jax.Array, n: int) -> list[jax.Array]:
-    """Split a float32 array into ``n`` bf16 limbs, round-to-nearest.
+def _round_bf16(x: jax.Array, mode: str) -> jax.Array:
+    """bf16-representable value of x, in float32, without an astype
+    round-trip: XLA TPU runs with excess precision allowed, so a
+    ``convert(convert(x, bf16), f32)`` pair can be folded away, which would
+    silently collapse a limb split to (x, 0, ...) — bf16x1 arithmetic with
+    extra zero-limb passes (observed on hardware).  'rne' uses
+    ``lax.reduce_precision`` (guaranteed not elided); 'rtz' masks the low
+    16 mantissa bits (bitcast ops are likewise opaque to convert folding).
+    """
+    if mode == "rne":
+        return jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+    i = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(i, jnp.int32(-65536)), jnp.float32
+    )
+
+
+def split_limbs(x: jax.Array, n: int, mode: str = "rne") -> list[jax.Array]:
+    """Split a float32 array into ``n`` bf16 limbs.
 
     Sum of limbs (in float32) reconstructs x exactly for n >= 3; for n < 3
-    the last limb absorbs the rounded remainder of the truncation.
+    the last limb absorbs the remainder of the truncation.
     """
     limbs = []
     r = x
     for _ in range(n - 1):
-        h = r.astype(jnp.bfloat16)
-        limbs.append(h)
-        r = r - h.astype(jnp.float32)
+        h = _round_bf16(r, mode)
+        limbs.append(h.astype(jnp.bfloat16))
+        r = r - h
     limbs.append(r.astype(jnp.bfloat16))
     return limbs
 
@@ -123,9 +150,9 @@ def apply_scheme(
     ride one contraction's lanes (the lane-packing trick above); the result
     splits back into blocks along the last axis and sums in float32.
     """
-    nlimbs, terms = SCHEMES[scheme]
-    xl = split_limbs(x.astype(jnp.float32), nlimbs)
-    wl = split_limbs(w.astype(jnp.float32), nlimbs)
+    nlimbs, terms, mode = SCHEMES[scheme]
+    xl = split_limbs(x.astype(jnp.float32), nlimbs, mode)
+    wl = split_limbs(w.astype(jnp.float32), nlimbs, mode)
     groups: dict[int, list[int]] = {}
     for i, j in terms:
         groups.setdefault(i, []).append(j)

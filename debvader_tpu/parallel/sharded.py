@@ -227,8 +227,10 @@ def make_sharded_apply(model: DeblenderVAE, mesh, z_mode: str = "sample") -> Cal
 
     @jax.jit
     def apply(variables, x, rng=None):
+        from debvader_tpu.utils.flux_cal import apply_flux_calibration
+
         x = jax.lax.with_sharding_constraint(x, batch_s)
         dist, posterior = model.apply(variables, x, rng=rng, z_mode=z_mode)
-        return dist
+        return apply_flux_calibration(dist, variables)
 
     return apply

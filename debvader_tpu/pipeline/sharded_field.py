@@ -291,6 +291,9 @@ class ShardedFieldDeblender:
 
                 x = normalize_non_linear(x0)
             dist, _ = model.apply(variables, x, rng=rng, z_mode=z_mode)
+            from debvader_tpu.utils.flux_cal import apply_flux_calibration
+
+            dist = apply_flux_calibration(dist, variables)
             if normalise:
                 from debvader_tpu.ops.normalize import denormalize_distribution
 

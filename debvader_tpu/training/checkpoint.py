@@ -174,12 +174,19 @@ def load_deblender(
     dtype: str = "float32",
     decoder_f32_stages: int = 0,
     matmul_precision: str | None = None,
+    flux_calibration: bool = False,
 ):
     """Build the VAE and load survey weights (reference model/model.py:221-271).
 
     Returns (model, variables); with ``return_encoder_decoder_z`` the bound
     encode/decode callables are returned too (the reference returns separate
     Keras models — here they are methods of one module).
+
+    ``flux_calibration=True`` measures the built model's per-band flux gain
+    against its own HIGHEST-precision forward and attaches the correction
+    (utils/flux_cal.py) — the fidelity serving mode is
+    ``matmul_precision='high', flux_calibration=True``
+    (config.fidelity_serving_config).
     """
     from debvader_tpu.config import ModelConfig
     from debvader_tpu.models.vae import DeblenderVAE
@@ -197,6 +204,10 @@ def load_deblender(
     model = DeblenderVAE(cfg)
     variables = load_weights(survey, weights_dir=weights_dir)
     variables = jax.tree_util.tree_map(jax.numpy.asarray, variables)
+    if flux_calibration:
+        from debvader_tpu.utils.flux_cal import attach_flux_calibration
+
+        variables = attach_flux_calibration(model, variables)
     if return_encoder_decoder_z:
         def encode(x):
             return model.apply(variables, x, method=lambda m, v: m.encode(v))

@@ -264,6 +264,89 @@ def make_chunked_train_step(
     return run_chunk
 
 
+def make_superbatch_train_step(
+    model: DeblenderVAE,
+    train_cfg: TrainConfig | None = None,
+    *,
+    steps: int,
+    mesh=None,
+    gather: bool = False,
+    donate: bool = True,
+) -> Callable:
+    """``steps`` training steps per device dispatch over uploaded data
+    (VERDICT r3 #3 — the host-data counterpart of make_chunked_train_step).
+
+    A Python step loop pays one host dispatch per step; through a slow host
+    link that is ~0.4 s of latency per ~7 ms step.  The reference's hot loop
+    is ``net.fit`` (training/train.py:27-37), which batches dispatches
+    internally; the TPU-native form scans K steps inside one jitted program:
+
+    - ``gather=False``: ``(state, xs, ys) -> (state, summed_terms)`` where
+      xs/ys are (K, bs, ...) superbatches — upload once, scan K steps.
+    - ``gather=True``: ``(state, x_all, y_all, idx) -> (state, summed_terms)``
+      where x_all/y_all are the *device-resident dataset* and idx is a tiny
+      (K, bs) int32 batch-index array — per-dispatch upload is just the
+      indices, so host-data training runs at the on-device step rate once
+      the dataset has been placed in HBM (train_network does this
+      automatically when it fits).
+
+    Each scanned step is mathematically identical to make_train_step's
+    (same loss_fn, rng threading, optimizer update); the two compile as
+    different XLA programs so results agree to float epsilon, not bitwise
+    (pinned by tests/test_training_extras.py).  ``summed_terms`` are the
+    per-step metric dicts summed over the K steps on device (all steps are
+    full ``bs``-row batches, so the caller weights by ``bs``).
+
+    With ``mesh`` the per-step batch is sharded over the 'data' axis exactly
+    like make_sharded_train_step (XLA inserts the gradient reductions);
+    gather mode is single-device only — arbitrary shuffled gathers from a
+    row-sharded resident dataset would be an all-to-all per step.
+    """
+    train_cfg = train_cfg or TrainConfig()
+    loss_fn = make_loss_fn(model, train_cfg)
+    if mesh is not None and gather:
+        raise ValueError("gather=True is single-device only; use superbatches")
+    batch_s = None
+    if mesh is not None:
+        from debvader_tpu.parallel import mesh as mesh_lib
+
+        batch_s = mesh_lib.batch_sharding(mesh)
+
+    def body_step(st, x, y):
+        if batch_s is not None:
+            x = jax.lax.with_sharding_constraint(x, batch_s)
+            y = jax.lax.with_sharding_constraint(y, batch_s)
+        rng, new_rng = jax.random.split(st.rng)
+        grads, (terms, new_bs) = jax.grad(loss_fn, has_aux=True)(
+            st.params, st.batch_stats, x, y, rng, st.step
+        )
+        return st.apply_gradients(grads, new_bs, new_rng), terms
+
+    donate_argnums = (0,) if donate else ()
+
+    if gather:
+
+        @partial(jax.jit, donate_argnums=donate_argnums)
+        def run_gather(state: TrainState, x_all, y_all, idx):
+            def body(st, ix):
+                return body_step(st, jnp.take(x_all, ix, axis=0),
+                                 jnp.take(y_all, ix, axis=0))
+
+            state, terms = jax.lax.scan(body, state, idx)
+            return state, jax.tree_util.tree_map(lambda t: t.sum(0), terms)
+
+        return run_gather
+
+    @partial(jax.jit, donate_argnums=donate_argnums)
+    def run_super(state: TrainState, xs, ys):
+        state, terms = jax.lax.scan(
+            lambda st, xy: body_step(st, *xy), state, (xs, ys)
+        )
+        return state, jax.tree_util.tree_map(lambda t: t.sum(0), terms)
+
+    return run_super
+
+
 def make_eval_step(model: DeblenderVAE, train_cfg: TrainConfig | None = None):
     """Jitted validation step (BN in inference mode, sampled latent like the
     reference's Keras validation pass)."""
@@ -397,6 +480,8 @@ def train_network(
     train_cfg: TrainConfig | None = None,
     mesh=None,
     metrics_log=None,
+    steps_per_dispatch: int = 1,
+    device_dataset: bool | None = None,
 ):
     """Epoch loop mirroring the reference train_network (training/train.py:11-39).
 
@@ -411,6 +496,21 @@ def train_network(
     ``metrics_log``: a ``utils.profiling.MetricsLog`` (or a str/Path for a
     JSONL file) receiving one structured record per epoch in addition to the
     returned history.
+
+    ``steps_per_dispatch``: scan K full-size batches per device dispatch
+    (make_superbatch_train_step) instead of one Python dispatch per batch —
+    the host-data form of the chunked trainer.  Batch order, shuffling, rng
+    threading and sample-weighted epoch metrics are unchanged (the trailing
+    partial batch still runs per-step at its natural shape); results match
+    the per-step path to float epsilon rather than bitwise, since the
+    scanned step compiles as a different XLA program.
+
+    ``device_dataset``: with steps_per_dispatch > 1 and array training data,
+    place the whole training set in HBM once and scan over uploaded batch
+    *indices* (gather mode) so per-dispatch host traffic is a few KB.  None
+    = auto (single-device, dataset <= 4 GB); ignored for loaders.  With
+    ``mesh`` the superbatch path is used instead (sharded over 'data';
+    requires batch_size divisible by the data axis).
     """
     train_cfg = train_cfg or TrainConfig()
     run_train, run_eval, shard_state = _make_step_runners(
@@ -418,6 +518,17 @@ def train_network(
     )
     state = shard_state(state)
     shuffle_rng = np.random.default_rng(train_cfg.seed)
+    spd = int(steps_per_dispatch)
+    if spd < 1:
+        raise ValueError(f"steps_per_dispatch must be >= 1, got {spd}")
+    if spd > 1 and mesh is not None:
+        from debvader_tpu.parallel import mesh as mesh_lib
+
+        if batch_size % mesh.shape[mesh_lib.DATA_AXIS]:
+            raise ValueError(
+                "steps_per_dispatch with mesh requires batch_size divisible "
+                f"by the data axis ({mesh.shape[mesh_lib.DATA_AXIS]})"
+            )
     if isinstance(metrics_log, (str, bytes)) or hasattr(metrics_log, "__fspath__"):
         from debvader_tpu.utils.profiling import MetricsLog
 
@@ -432,6 +543,52 @@ def train_network(
     x_va, y_va = validation_data
     history: dict[str, list[float]] = {}
 
+    # --- steps_per_dispatch machinery -------------------------------------
+    x_dev = y_dev = None
+    if spd > 1 and not use_loader:
+        if device_dataset is None:
+            device_dataset = (
+                mesh is None
+                and np.asarray(x_tr).nbytes + np.asarray(y_tr).nbytes
+                <= (4 << 30)
+            )
+        if device_dataset:
+            if mesh is not None:
+                raise ValueError(
+                    "device_dataset gather mode is single-device only"
+                )
+            x_dev = jnp.asarray(x_tr, jnp.float32)
+            y_dev = jnp.asarray(y_tr, jnp.float32)
+    scan_cache: dict[int, Callable] = {}
+
+    def run_scan(state, chunk):
+        """Scan len(chunk) full batches in one dispatch; returns
+        (state, terms summed over the chunk's steps)."""
+        g = len(chunk)
+        if g not in scan_cache:
+            scan_cache[g] = make_superbatch_train_step(
+                model, train_cfg, steps=g, mesh=mesh, gather=x_dev is not None
+            )
+        fn = scan_cache[g]
+        if x_dev is not None:
+            idxm = jnp.asarray(np.stack(chunk).astype(np.int32))
+            return fn(state, x_dev, y_dev, idxm)
+        flat = np.concatenate(chunk)
+        bx = np.asarray(x_tr[flat], np.float32).reshape(
+            g, batch_size, *np.shape(x_tr)[1:]
+        )
+        by = np.asarray(y_tr[flat], np.float32).reshape(
+            g, batch_size, *np.shape(y_tr)[1:]
+        )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sb = NamedSharding(mesh, PartitionSpec(None, "data"))
+            return fn(state, jax.device_put(bx, sb), jax.device_put(by, sb))
+        return fn(state, jnp.asarray(bx), jnp.asarray(by))
+
+    # ----------------------------------------------------------------------
+
     for epoch in range(epochs):
         # Metrics stay on device (running sums) and are fetched once per
         # epoch — a float() per step would force a device->host sync that
@@ -442,27 +599,77 @@ def train_network(
         # — with equal weights a 1-stamp tail would count like a full batch.
         sums: dict[str, jax.Array] | None = None
         n_samples = 0
+
+        def add_terms(terms, mult, n):
+            """sums += terms * mult; n_samples += n.  Per-step calls pass
+            (terms, b, b); scan calls pass step-summed terms with
+            (terms, batch_size, g * batch_size) — every scanned step is a
+            full batch, so the per-sample weighting matches the per-step
+            path exactly."""
+            nonlocal sums, n_samples
+            terms = jax.tree_util.tree_map(lambda t: t * mult, terms)
+            sums = terms if sums is None else jax.tree_util.tree_map(
+                jnp.add, sums, terms
+            )
+            n_samples += n
+
         if use_loader:
+            buf_x: list = []
+            buf_y: list = []
+
+            def flush_buf(state):
+                if not buf_x:
+                    return state
+                g = len(buf_x)
+                if g not in scan_cache:
+                    scan_cache[g] = make_superbatch_train_step(
+                        model, train_cfg, steps=g, mesh=mesh
+                    )
+                bx = np.stack([np.asarray(b, np.float32) for b in buf_x])
+                by = np.stack([np.asarray(b, np.float32) for b in buf_y])
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    sb = NamedSharding(mesh, PartitionSpec(None, "data"))
+                    bx, by = jax.device_put(bx, sb), jax.device_put(by, sb)
+                else:
+                    bx, by = jnp.asarray(bx), jnp.asarray(by)
+                state, terms = scan_cache[g](state, bx, by)
+                add_terms(terms, batch_size, g * batch_size)
+                buf_x.clear()
+                buf_y.clear()
+                return state
+
             for _ in range(len(training_data)):
                 bx, by = training_data.next_batch()
+                if spd > 1 and len(bx) == batch_size:
+                    buf_x.append(bx)
+                    buf_y.append(by)
+                    if len(buf_x) == spd:
+                        state = flush_buf(state)
+                    continue
+                # odd-shaped batch: preserve order — flush, then per-step
+                state = flush_buf(state)
                 state, terms = run_train(state, bx, by)
-                b = len(bx)
-                terms = jax.tree_util.tree_map(lambda t: t * b, terms)
-                sums = terms if sums is None else jax.tree_util.tree_map(
-                    jnp.add, sums, terms
-                )
-                n_samples += b
+                add_terms(terms, len(bx), len(bx))
+            state = flush_buf(state)
         else:
-            for idx in _batches(
-                len(x_tr), batch_size, shuffle_rng if train_cfg.shuffle else None
-            ):
-                state, terms = run_train(state, x_tr[idx], y_tr[idx])
-                b = len(idx)
-                terms = jax.tree_util.tree_map(lambda t: t * b, terms)
-                sums = terms if sums is None else jax.tree_util.tree_map(
-                    jnp.add, sums, terms
+            blocks = list(
+                _batches(
+                    len(x_tr), batch_size,
+                    shuffle_rng if train_cfg.shuffle else None,
                 )
-                n_samples += b
+            )
+            if spd > 1:
+                full = [b for b in blocks if len(b) == batch_size]
+                blocks = [b for b in blocks if len(b) < batch_size]
+                for start in range(0, len(full), spd):
+                    chunk = full[start : start + spd]
+                    state, terms = run_scan(state, chunk)
+                    add_terms(terms, batch_size, len(chunk) * batch_size)
+            for idx in blocks:
+                state, terms = run_train(state, x_tr[idx], y_tr[idx])
+                add_terms(terms, len(idx), len(idx))
 
         val_sums: dict[str, jax.Array] | None = None
         n_val = 0

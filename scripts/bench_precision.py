@@ -16,7 +16,7 @@ This script measures the real ladder against a CPU float32 forward
 reporting per-stamp total-flux relative error (the DC2 <=1e-4 clause's
 metric) and chained-timing throughput for each.
 
-Usage: python scripts/bench_precision.py [batch]
+Usage: python scripts/bench_precision.py [batch] [row-name-filter]
 """
 
 import sys
@@ -65,19 +65,34 @@ def main():
     x = jnp.tile(jnp.asarray(stamps, jnp.float32), (reps_needed, 1, 1, 1))[:BATCH]
     test_np = np.asarray(simulate_batch(jax.random.PRNGKey(7), 256)[0], np.float32)
 
-    def build(dtype, precision):
-        model = DeblenderVAE(ModelConfig(dtype=dtype, matmul_precision=precision))
+    def build(dtype, precision, layer_precision=None, flux_cal=False):
+        model = DeblenderVAE(
+            ModelConfig(
+                dtype=dtype,
+                matmul_precision=precision,
+                layer_precision=layer_precision,
+            )
+        )
+        use_vars = variables
+        if flux_cal:
+            from debvader_tpu.utils.flux_cal import (
+                apply_flux_calibration,
+                attach_flux_calibration,
+            )
 
-        @jax.jit
-        def fwd(images, rng):
-            dist, _ = model.apply(variables, images, rng=rng)
+            use_vars = attach_flux_calibration(model, variables)
+
+        def _apply(images, rng=None, z_mode="sample"):
+            dist, _ = model.apply(
+                {k: use_vars[k] for k in ("params", "batch_stats")},
+                images, rng=rng, z_mode=z_mode,
+            )
+            if flux_cal:
+                dist = apply_flux_calibration(dist, use_vars)
             return dist.loc
 
-        @jax.jit
-        def fwd_mean(images):
-            dist, _ = model.apply(variables, images, z_mode="mean")
-            return dist.loc
-
+        fwd = jax.jit(lambda images, rng: _apply(images, rng))
+        fwd_mean = jax.jit(lambda images: _apply(images, z_mode="mean"))
         return fwd, fwd_mean
 
     # Ground truth: exact fp32 math on the CPU backend.
@@ -95,15 +110,47 @@ def main():
         )
     tr = ref.sum(axis=(1, 2, 3))
 
+    ALL_KEYS = (
+        [f"enc/Conv_{i}" for i in range(8)]
+        + ["enc/Dense_0", "dec/Dense_0", "dec/Dense_1"]
+        + [f"dec/ConvT_{i}" for i in range(8)]
+        + ["dec/Conv_0"]
+    )
     rows = [
-        ("fp32 highest", "float32", "highest"),
-        ("fp32 high", "float32", "high"),
-        ("fp32 default", "float32", None),
-        ("bf16", "bfloat16", None),
+        ("fp32 highest", "float32", "highest", None),
+        ("fp32 high", "float32", "high", None),
+        # HIGH + per-band photometric calibration of its truncation bias
+        # (utils/flux_cal.py) — the round-4 fidelity serving mode
+        ("fp32 high+cal", "float32", "high", None, True),
+        ("fp32 default", "float32", None, None),
+        ("bf16", "bfloat16", None, None),
     ]
+    # Explicit bf16-limb schemes (models/precision.py): RNE limb splits with
+    # output-channel lane packing — better error per pass than the native
+    # rungs, and cheaper than pass count at the lane-starved decoder tail.
+    for scheme in ("bf16x3", "bf16x4", "bf16x5", "bf16x6", "bf16x9"):
+        rows.append(
+            (f"mp {scheme}", "float32", None, {k: scheme for k in ALL_KEYS})
+        )
+    # The searched placement (results/precision_placement.json), if present.
+    placement_path = (
+        Path(__file__).resolve().parent.parent
+        / "results"
+        / "precision_placement.json"
+    )
+    if placement_path.exists():
+        import json
+
+        placement = json.loads(placement_path.read_text())["placement"]
+        rows.append(("mp searched", "float32", None, placement))
+    row_filter = sys.argv[2] if len(sys.argv) > 2 else ""
     test = jnp.asarray(test_np)
-    for name, dtype, precision in rows:
-        fwd, fwd_mean = build(dtype, precision)
+    for row in rows:
+        name, dtype, precision, layer_precision = row[:4]
+        flux_cal = bool(row[4]) if len(row) > 4 else False
+        if row_filter and row_filter not in name:
+            continue
+        fwd, fwd_mean = build(dtype, precision, layer_precision, flux_cal)
         loc = np.asarray(fwd_mean(test), np.float64)
         tot = loc.sum(axis=(1, 2, 3))
         rel = np.abs(tot - tr) / np.maximum(np.abs(tr), 1e-9)

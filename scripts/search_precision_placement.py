@@ -50,8 +50,8 @@ LAYER_KEYS = (
 # rung -> MXU pass count on a lane-full layer (cost model input; lane-starved
 # layers pay ~#distinct-x-limbs instead, profile_layer_cost.py measures both)
 PASSES = {
-    "default": 1, "bf16x1": 1, "high": 3, "bf16x3": 3, "bf16x4": 4,
-    "bf16x5": 5, "highest": 6, "bf16x6": 6, "bf16x9": 9,
+    "default": 1, "bf16x1": 1, "high": 3, "bf16x3t": 3, "bf16x3": 3,
+    "bf16x4": 4, "bf16x5": 5, "highest": 6, "bf16x6": 6, "bf16x9": 9,
 }
 
 
@@ -107,7 +107,10 @@ def cmd_sensitivity(batch):
     RESULTS.mkdir(exist_ok=True)
     out_path = RESULTS / "precision_sensitivity.json"
     table = json.loads(out_path.read_text()) if out_path.exists() else {}
-    rungs = ("bf16x1", "bf16x3", "bf16x4", "bf16x5", "bf16x6")
+    # bf16x1 = native DEFAULT, bf16x3t = native HIGH (RTZ — hardware-
+    # validated emulation); bf16x3/x4 are the explicit RNE rungs viable on
+    # small-activation layers.
+    rungs = ("bf16x1", "bf16x3t", "bf16x3", "bf16x4")
     for key in LAYER_KEYS:
         row = table.setdefault(key, {})
         for rung in rungs:
