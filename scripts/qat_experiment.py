@@ -1,0 +1,85 @@
+"""QAT accuracy experiment on the converged sim_demo weights.
+
+Round-3 established per-tensor-activation int8 PTQ measures ~0.22 mean
+total-flux rel err on converged weights (not photometry-grade) and that no
+calibration tweak fixes it.  This runs the standard next step — QAT
+fine-tuning through the STE fake-quant forward (models/quantized.py
+qat_finetune) — and re-measures the int8 serving accuracy.
+
+Target (VERDICT r3 #2): quantization error noise-subdominant vs the
+deblender's intrinsic 0.104 flux-recovery scatter (i.e. ~1e-2), or a
+rigorous negative result.
+
+Usage: python scripts/qat_experiment.py [steps] [lr] [batch]
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from debvader_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+LR = float(sys.argv[2]) if len(sys.argv) > 2 else 2e-5
+BATCH = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+
+
+def accuracy(qv, tag, n=256):
+    """int8 vs float-forward flux error + deblending quality on held-out
+    simulated blends."""
+    from debvader_tpu.data.simulate import simulate_batch
+    from debvader_tpu.models.quantized import quantized_forward
+
+    x, y, _ = simulate_batch(jax.random.PRNGKey(7), n)
+    dist_q, _ = quantized_forward(qv, x, jax.random.PRNGKey(0), z_mode="mean")
+    dist_f, _ = quantized_forward(
+        qv, x, jax.random.PRNGKey(0), z_mode="mean", quant=False
+    )
+    fq = np.asarray(dist_q.loc, np.float64).sum(axis=(1, 2, 3))
+    ff = np.asarray(dist_f.loc, np.float64).sum(axis=(1, 2, 3))
+    ft = np.asarray(y, np.float64).sum(axis=(1, 2, 3))
+    rel = np.abs(fq - ff) / np.maximum(np.abs(ff), 1e-9)
+    # science deltas: how much worse is int8 than float at recovering truth
+    sci_f = np.abs(ff - ft) / np.maximum(np.abs(ft), 1e-9)
+    sci_q = np.abs(fq - ft) / np.maximum(np.abs(ft), 1e-9)
+    px = np.sqrt(np.mean((np.asarray(dist_q.loc) - np.asarray(dist_f.loc)) ** 2))
+    pxf = max(np.sqrt(np.mean(np.asarray(dist_f.loc) ** 2)), 1e-12)
+    print(
+        f"{tag}: int8-vs-float flux rel err mean {rel.mean():.3e} max "
+        f"{rel.max():.3e}  pixel rmse ratio {px / pxf:.3e}  "
+        f"truth-flux err median float {np.median(sci_f):.4f} int8 "
+        f"{np.median(sci_q):.4f}",
+        flush=True,
+    )
+    return rel.mean()
+
+
+def main():
+    from debvader_tpu.data.simulate import simulate_batch
+    from debvader_tpu.models.quantized import qat_finetune, quantize_vae
+    from debvader_tpu.training.checkpoint import load_deblender
+
+    model, variables = load_deblender("sim_demo")
+    calib, _, _ = simulate_batch(jax.random.PRNGKey(11), 128)
+    qv = quantize_vae(model, variables, calib)
+    accuracy(qv, "PTQ baseline")
+    done = 0
+    chunk = 1000
+    while done < STEPS:
+        qv = qat_finetune(
+            qv, steps=min(chunk, STEPS - done), batch=BATCH,
+            learning_rate=LR, steps_per_dispatch=100, seed=done + 1,
+        )
+        done += chunk
+        accuracy(qv, f"QAT {done} steps (lr {LR})")
+
+
+if __name__ == "__main__":
+    main()
