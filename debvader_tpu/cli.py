@@ -133,11 +133,21 @@ def _det_cfg(args):
 def _cmd_deblend(args) -> int:
     from debvader_tpu.api import deblend
 
-    net = _load_net(args)
     stamps = np.load(args.stamps)
     if stamps.ndim == 3:
         stamps = stamps[None]
-    means, dist = deblend(net, stamps, normalise=args.normalise)
+    if getattr(args, "artifact", None):
+        import jax
+
+        from debvader_tpu.api import padded_forward
+        from debvader_tpu.utils.export import artifact_forward
+
+        fwd = artifact_forward(args.artifact, normalise=args.normalise)
+        dist = padded_forward(fwd, stamps, jax.random.PRNGKey(0))
+        means = np.asarray(dist.mean())
+    else:
+        net = _load_net(args)
+        means, dist = deblend(net, stamps, normalise=args.normalise)
     np.save(args.out, means)
     print(f"wrote {args.out}: {means.shape}")
     if args.std:
@@ -169,6 +179,7 @@ def _cmd_serve(args) -> int:
         cutout_size=args.stamp_size,
         nb_of_bands=args.bands,
         normalise=args.normalise,
+        artifact=getattr(args, "artifact", None),
         # thread --tile/--overlap into the pipeline config so the
         # ITERATIVE path's internal detection honors them too
         cfg=PipelineConfig(
@@ -299,7 +310,7 @@ def _cmd_export(args) -> int:
 
     model, variables = _load_net(args)
     blob = export_deblender(
-        model, variables, batch_size=args.batch, path=args.out
+        model, variables, batch_size=args.batch or None, path=args.out
     )
     print(f"wrote {args.out} ({len(blob)} bytes of StableHLO)")
     return 0
@@ -330,6 +341,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("deblend", help="batched stamp deblending")
     _model_flags(p)
     p.add_argument("--weights", help="survey name or weights dir (default sim_demo)")
+    p.add_argument(
+        "--artifact",
+        help="serve from a jax.export StableHLO artifact (see `export`) "
+        "instead of loading weights — cold start skips tracing/lowering",
+    )
     p.add_argument("--stamps", required=True, help="(N, S, S, B) .npy")
     p.add_argument("--out", required=True, help="output means .npy")
     p.add_argument("--std", help="also write the per-pixel stddev .npy")
@@ -350,6 +366,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     _model_flags(p)
     p.add_argument("--weights")
+    p.add_argument(
+        "--artifact",
+        help="run the batched stamp forward from a jax.export artifact "
+        "(weights still load for epistemic sampling, if enabled)",
+    )
     p.add_argument("--field", required=True)
     p.add_argument("--centers", help="(N, 2) offsets .npy; omit to detect")
     p.add_argument("--out-prefix", required=True)
@@ -385,7 +406,11 @@ def build_parser() -> argparse.ArgumentParser:
     _model_flags(p)
     p.add_argument("--weights")
     p.add_argument("--out", required=True)
-    p.add_argument("--batch", type=int, default=32)
+    p.add_argument(
+        "--batch", type=int, default=0,
+        help="0 (default) = symbolic batch dimension: one artifact serves "
+        "any batch size (what `serve --artifact` needs)",
+    )
     p.set_defaults(fn=_cmd_export)
 
     p = sub.add_parser(

@@ -188,6 +188,7 @@ class DeblendField:
         upload_dtype=None,
         device_dtype=None,
         z_mode: str = "sample",
+        artifact=None,
     ):
         """net: (model, variables); field_image: (1, F, F, B) array.
 
@@ -230,6 +231,16 @@ class DeblendField:
         latent per stamp) or 'mean' (posterior-mean latent: a
         deterministic forward for reproducible serving).  Epistemic
         estimation always samples.
+        ``artifact``: a jax.export StableHLO artifact (path or bytes from
+        utils/export.export_deblender, or a prebuilt
+        utils/export.artifact_forward closure) — the batched stamp forward
+        then runs the exported program instead of jitting the live model,
+        so cold-start serving skips tracing/lowering entirely (the
+        deployment counterpart of the reference's ONNX path,
+        notebooks/deblender_to_onnx.ipynb).  The artifact bakes in its own
+        z_mode and weights; export with batch_size=None so the bucketed
+        batches fit.  Mutually exclusive with ``mesh`` and ``quantized``;
+        epistemic sampling stays on the live model.
         """
         self.net = net
         self.field_image = np.array(field_image, dtype=np.float32)
@@ -286,6 +297,22 @@ class DeblendField:
             from debvader_tpu.models.quantized import make_quantized_forward
 
             self._quant_fwd = make_quantized_forward(quantized)
+        self.artifact = artifact
+        if artifact is not None:
+            if mesh is not None or quantized is not None:
+                raise ValueError(
+                    "artifact serving is mutually exclusive with mesh and "
+                    "quantized modes (export one artifact per serving "
+                    "configuration instead)"
+                )
+            if callable(artifact):
+                self._artifact_fwd = artifact
+            else:
+                from debvader_tpu.utils.export import artifact_forward
+
+                self._artifact_fwd = artifact_forward(
+                    artifact, normalise=normalise
+                )
         self.upload_dtype = _check_reduced_dtype("upload_dtype", upload_dtype)
         self.device_dtype = _check_reduced_dtype("device_dtype", device_dtype)
         if self.device_dtype == "float16":
@@ -412,6 +439,10 @@ class DeblendField:
             # guard + normalize/denormalize live inside the quantized jit
             # (make_quantized_forward), mirroring api.deblend_jit
             return padded_forward(self._quant_fwd, cutouts, self._next_rng())
+        if self.artifact is not None:
+            from debvader_tpu.api import padded_forward
+
+            return padded_forward(self._artifact_fwd, cutouts, self._next_rng())
         if self.mesh is not None:
             _, dist = self._deblend_sharded(cutouts)
             return dist

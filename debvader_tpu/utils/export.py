@@ -21,7 +21,12 @@ from jax import export as jax_export
 
 from debvader_tpu.models.vae import DeblenderVAE
 
-__all__ = ["export_deblender", "load_exported", "roundtrip_check"]
+__all__ = [
+    "export_deblender",
+    "load_exported",
+    "artifact_forward",
+    "roundtrip_check",
+]
 
 
 def _forward_fn(model: DeblenderVAE, z_mode: str):
@@ -35,7 +40,7 @@ def _forward_fn(model: DeblenderVAE, z_mode: str):
 def export_deblender(
     model: DeblenderVAE,
     variables: Any,
-    batch_size: int = 32,
+    batch_size: int | None = None,
     z_mode: str = "sample",
     path: str | Path | None = None,
 ) -> bytes:
@@ -44,6 +49,11 @@ def export_deblender(
     The exported callable takes (images, rng_key_data) and returns
     (mean, stddev) like the reference's ONNX session returns the sampler
     outputs (deblender_to_onnx.ipynb cells 15-16).
+
+    ``batch_size=None`` (default) exports with a *symbolic* batch dimension
+    so one artifact serves any batch — required for the serving pipeline's
+    bucket-padded batches (api.padded_forward).  A fixed int pins the
+    batch shape (the pre-r4 behavior).
     """
     cfg = model.cfg
     fwd = _forward_fn(model, z_mode)
@@ -52,8 +62,12 @@ def export_deblender(
         rng = jax.random.wrap_key_data(key_data)
         return fwd(variables, images, rng)
 
+    batch_dim = (
+        jax_export.symbolic_shape("b")[0] if batch_size is None else batch_size
+    )
     images_spec = jax.ShapeDtypeStruct(
-        (batch_size, cfg.stamp_size, cfg.stamp_size, cfg.nb_of_bands), jnp.float32
+        (batch_dim, cfg.stamp_size, cfg.stamp_size, cfg.nb_of_bands),
+        jnp.float32,
     )
     key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
     exported = jax_export.export(jax.jit(wrapped))(images_spec, key_spec)
@@ -70,6 +84,41 @@ def load_exported(blob: bytes | str | Path):
         blob = Path(blob).read_bytes()
     exported = jax_export.deserialize(bytearray(blob))
     return exported.call
+
+
+def artifact_forward(blob: bytes | str | Path, normalise: bool = False):
+    """Serving closure over an exported artifact: ``(images, rng) ->
+    (loc, scale)`` with the standard pre/post bracket (finite guard,
+    optional tanh-arcsinh normalize / delta-method denormalize) applied
+    around the baked-in forward — the same contract as
+    make_quantized_forward, so ``api.padded_forward`` and the scene
+    pipeline can consume an artifact anywhere they consume the live model.
+    Cold-start cost is the artifact's backend compile only: no tracing or
+    lowering of the model code (utils/compile_cache makes repeat processes
+    skip even that)."""
+    call = load_exported(blob)
+
+    @jax.jit
+    def bracket_in(images):
+        x = jnp.asarray(images, jnp.float32)
+        x = jnp.where(jnp.isfinite(x), x, 0.0)
+        if normalise:
+            from debvader_tpu.ops.normalize import normalize_non_linear
+
+            x = normalize_non_linear(x)
+        return x
+
+    def fwd(images, rng):
+        loc, scale = call(bracket_in(images), jax.random.key_data(rng))
+        if normalise:
+            from debvader_tpu.models.distributions import PixelNormal
+            from debvader_tpu.ops.normalize import denormalize_distribution
+
+            dist = denormalize_distribution(PixelNormal(loc, scale))
+            return dist.loc, dist.scale
+        return loc, scale
+
+    return fwd
 
 
 def roundtrip_check(

@@ -31,34 +31,41 @@ LR = float(sys.argv[2]) if len(sys.argv) > 2 else 2e-5
 BATCH = int(sys.argv[3]) if len(sys.argv) > 3 else 256
 
 
+_BASE = {}
+
+
 def accuracy(qv, tag, n=256):
-    """int8 vs float-forward flux error + deblending quality on held-out
-    simulated blends."""
+    """int8 accuracy vs the ORIGINAL float forward (fixed teacher) and vs
+    truth on held-out simulated blends.  The science criterion is the
+    truth-recovery degradation: int8 median flux err vs the original
+    float's (VERDICT r3 #2: quantization noise-subdominant)."""
     from debvader_tpu.data.simulate import simulate_batch
     from debvader_tpu.models.quantized import quantized_forward
 
     x, y, _ = simulate_batch(jax.random.PRNGKey(7), n)
     dist_q, _ = quantized_forward(qv, x, jax.random.PRNGKey(0), z_mode="mean")
-    dist_f, _ = quantized_forward(
-        qv, x, jax.random.PRNGKey(0), z_mode="mean", quant=False
-    )
     fq = np.asarray(dist_q.loc, np.float64).sum(axis=(1, 2, 3))
-    ff = np.asarray(dist_f.loc, np.float64).sum(axis=(1, 2, 3))
     ft = np.asarray(y, np.float64).sum(axis=(1, 2, 3))
+    if "teacher" not in _BASE:
+        dist_f, _ = quantized_forward(
+            qv, x, jax.random.PRNGKey(0), z_mode="mean", quant=False
+        )
+        _BASE["teacher"] = np.asarray(dist_f.loc, np.float64)
+    teacher = _BASE["teacher"]
+    ff = teacher.sum(axis=(1, 2, 3))
     rel = np.abs(fq - ff) / np.maximum(np.abs(ff), 1e-9)
-    # science deltas: how much worse is int8 than float at recovering truth
     sci_f = np.abs(ff - ft) / np.maximum(np.abs(ft), 1e-9)
     sci_q = np.abs(fq - ft) / np.maximum(np.abs(ft), 1e-9)
-    px = np.sqrt(np.mean((np.asarray(dist_q.loc) - np.asarray(dist_f.loc)) ** 2))
-    pxf = max(np.sqrt(np.mean(np.asarray(dist_f.loc) ** 2)), 1e-12)
+    px = np.sqrt(np.mean((np.asarray(dist_q.loc) - teacher) ** 2))
+    pxf = max(np.sqrt(np.mean(teacher**2)), 1e-12)
     print(
-        f"{tag}: int8-vs-float flux rel err mean {rel.mean():.3e} max "
+        f"{tag}: int8-vs-origfloat flux rel err mean {rel.mean():.3e} max "
         f"{rel.max():.3e}  pixel rmse ratio {px / pxf:.3e}  "
-        f"truth-flux err median float {np.median(sci_f):.4f} int8 "
+        f"truth-flux err median origfloat {np.median(sci_f):.4f} int8 "
         f"{np.median(sci_q):.4f}",
         flush=True,
     )
-    return rel.mean()
+    return float(np.median(sci_q))
 
 
 def main():
@@ -68,17 +75,24 @@ def main():
 
     model, variables = load_deblender("sim_demo")
     calib, _, _ = simulate_batch(jax.random.PRNGKey(11), 128)
-    qv = quantize_vae(model, variables, calib)
-    accuracy(qv, "PTQ baseline")
+    qv0 = quantize_vae(model, variables, calib)
+    accuracy(qv0, "PTQ baseline")
+    # resumed fine-tuning with the teacher pinned to the ORIGINAL floats
+    qv = qv0
     done = 0
-    chunk = 1000
+    chunk = 500
+    best = (np.inf, None, 0)
     while done < STEPS:
         qv = qat_finetune(
             qv, steps=min(chunk, STEPS - done), batch=BATCH,
             learning_rate=LR, steps_per_dispatch=100, seed=done + 1,
+            teacher_variables=qv0.variables,
         )
         done += chunk
-        accuracy(qv, f"QAT {done} steps (lr {LR})")
+        med = accuracy(qv, f"QAT {done} steps (lr {LR})")
+        if med < best[0]:
+            best = (med, qv, done)
+    print(f"best: {best[2]} steps, int8 truth-flux median {best[0]:.4f}")
 
 
 if __name__ == "__main__":
