@@ -41,18 +41,23 @@ the error lands on.
 ACCURACY ON CONVERGED WEIGHTS (round-3 re-measurement): the r2-era
 accuracy numbers (flux rel err ~4e-4) were an artifact of the
 barely-trained 96-step demo checkpoint.  With the retrained sim_demo
-weights, int8 PTQ measures ~0.2 mean total-flux rel err (CPU fp32
+weights, int8 PTQ measures ~0.23 mean total-flux rel err (CPU fp32
 comparison; TPU bf16 comparison similar) — NOT photometry-grade.
 Per-layer ablation shows every quantized layer contributes 0.3-3.7%
 alone (the model is sensitive everywhere, not at one bad layer), and
 quantile-clipped calibration is strictly worse (see quantize_vae's
 calib_quantile note): the activation distributions are heavy-tailed
-with the signal in the tail.  Conclusion: per-tensor-activation int8
-PTQ does not preserve this VAE's photometry once it is well-trained;
-recovering int8 throughput would need QAT or per-channel activation
-handling, neither of which this serving path implements.  The mode and
-its measured envelope stay in-tree as validated infrastructure and a
-recorded negative result (tests/test_quantized.py pins the envelope).
+with the signal in the tail.
+
+QAT (round 4, :func:`qat_finetune`) recovers the mode: ~500-1000 steps of
+STE self-distillation against the original float forward take the int8
+path from 0.23 to ~2.5e-2 mean flux divergence, and its truth-flux
+recovery to within ~8%% of the float forward's (median 0.042 vs 0.039 on
+held-out sims — the quantization error is subdominant to the deblender's
+intrinsic 0.104 recovery scatter).  Measured trajectory, failure modes of
+the alternative objectives, and the fixed-teacher requirement:
+scripts/qat_experiment.py + BASELINE.md r4.  tests/test_quantized.py pins
+both the PTQ envelope and the QAT mechanism.
 
 This is an OPT-IN serving mode: the reference contract (PARITY.md) is the
 float path; int8 trades a measured, documented accuracy delta for
