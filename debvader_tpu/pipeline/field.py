@@ -256,12 +256,10 @@ class DeblendField:
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         if z_mode not in ("sample", "mean"):
             raise ValueError(f"z_mode must be 'sample' or 'mean', got {z_mode!r}")
-        if z_mode != "sample" and quantized is not None:
-            raise ValueError(
-                "quantized serving always samples the latent (the int8 "
-                "forward bakes in the reference z_mode); drop z_mode or "
-                "the quantized bundle"
-            )
+        # (r4: the former z_mode='sample' restriction on quantized serving
+        # is lifted — make_quantized_forward compiles either latent mode,
+        # and QAT distillation trains at the posterior mean, so 'mean' is
+        # now the better-matched deterministic serving choice.)
         # 'mean' uses the posterior mean instead of a sampled latent: a
         # deterministic forward (reference semantics are 'sample', the
         # Keras MVN-TriL layer's convert-fn; model/model.py:206-214)
@@ -296,7 +294,7 @@ class DeblendField:
                 )
             from debvader_tpu.models.quantized import make_quantized_forward
 
-            self._quant_fwd = make_quantized_forward(quantized)
+            self._quant_fwd = make_quantized_forward(quantized, z_mode=z_mode)
         self.artifact = artifact
         if artifact is not None:
             if mesh is not None or quantized is not None:

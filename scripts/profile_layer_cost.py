@@ -104,15 +104,34 @@ def main():
     if MODE == "native":
         for key in LAYER_KEYS:
             jobs += [(key, "high"), (key, "highest")]
+    elif MODE == "groups":
+        # Per-layer deltas (~1-2 ms) sit below this environment's ±8%
+        # timing noise at the 47 ms baseline; group-level extras (10-25 ms)
+        # are resolvable.  These groups partition the MXU layers by role:
+        # where the time goes under a precision upgrade = that group's
+        # share of MXU time x 5 extra passes.
+        GROUPS = {
+            "enc_early": [f"enc/Conv_{i}" for i in range(4)],
+            "enc_deep": [f"enc/Conv_{i}" for i in range(4, 8)]
+            + ["enc/Dense_0"],
+            "dec_deep": ["dec/Dense_0", "dec/Dense_1"]
+            + [f"dec/ConvT_{i}" for i in range(4)],
+            "dec_tail": [f"dec/ConvT_{i}" for i in range(4, 8)]
+            + ["dec/Conv_0"],
+        }
+        for gname, keys in GROUPS.items():
+            jobs.append((gname, "highest", {k: "highest" for k in keys}))
     else:
         for key in SMALL_MAP:
             jobs += [(key, "bf16x4"), (key, "bf16x5")]
 
-    for key, rung in jobs:
+    for job in jobs:
+        key, rung = job[0], job[1]
+        placement = job[2] if len(job) > 2 else {key: rung}
         row = table["extra_ms"].setdefault(key, {})
         if rung in row:
             continue
-        ms = measure_ms({key: rung})
+        ms = measure_ms(placement)
         row[rung] = ms - base
         print(f"{key:>14} {rung:>8}: +{ms - base:6.2f} ms  ({ms:.2f} total)",
               flush=True)

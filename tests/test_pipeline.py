@@ -890,3 +890,27 @@ def test_mesh_epistemic_samples_under_z_mode_mean(tiny_net):
     epi = np.stack(list(res.epistemic_uncertainty))
     assert np.isfinite(epi).all()
     assert epi.max() > 0, "epistemic collapsed to zero under z_mode='mean'"
+
+
+def test_quantized_z_mode_mean_deterministic(tiny_net):
+    """r4: the quantized serving path honors z_mode='mean' (restriction
+    lifted once QAT made int8 science-usable — the distillation objective
+    trains at the posterior mean, so deterministic serving is the
+    better-matched mode): two pipelines with different rng seeds produce
+    identical residuals through the int8 forward."""
+    from debvader_tpu.models.quantized import quantize_vae
+
+    model, variables = tiny_net
+    field, centers = _tiny_field()
+    df0 = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    calib = np.stack(list(df0.deblend_field(centers).cutout_images))
+    qv = quantize_vae(model, variables, calib)
+    kw = dict(cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg(), quantized=qv,
+              z_mode="mean")
+    _, r1 = DeblendField(
+        tiny_net, field, rng=jax.random.PRNGKey(1), **kw
+    ).deblend_and_render(centers)
+    _, r2 = DeblendField(
+        tiny_net, field, rng=jax.random.PRNGKey(2), **kw
+    ).deblend_and_render(centers)
+    np.testing.assert_array_equal(r1, r2)
