@@ -96,6 +96,7 @@ __all__ = [
     "quantize_vae",
     "quantized_forward",
     "make_quantized_forward",
+    "make_sharded_quantized_forward",
     "qat_finetune",
 ]
 
@@ -752,6 +753,42 @@ def qat_finetune(
             layers=list(qv.qweights),
         )
     return out
+
+
+def make_sharded_quantized_forward(
+    qv: QuantizedVAE, mesh, z_mode: str = "sample"
+):
+    """Batch-sharded int8 serving fan-out — the quantized twin of
+    parallel.sharded.make_sharded_apply (r4: lifts the former mesh/
+    quantized mutual exclusion).  The stamp batch splits over the mesh's
+    'data' axis; weights, int8 kernels and activation scales replicate;
+    each chip runs the identical per-shard int8 forward, so results match
+    the single-device quantized path up to float summation order.  Same
+    closure contract as make_quantized_forward."""
+    from debvader_tpu.parallel import mesh as mesh_lib
+
+    cfg = qv.cfg
+    normalise = qv.normalise
+    batch_s = mesh_lib.batch_sharding(mesh)
+
+    @jax.jit
+    def fwd(variables, qweights, act_scales, images, rng):
+        from debvader_tpu.ops.normalize import (
+            denormalize_distribution,
+            normalize_non_linear,
+        )
+
+        x = jnp.asarray(images, jnp.float32)
+        x = jax.lax.with_sharding_constraint(x, batch_s)
+        x = jnp.where(jnp.isfinite(x), x, 0.0)
+        if normalise:
+            x = normalize_non_linear(x)
+        dist, _ = _forward(cfg, variables, x, rng, z_mode, qweights, act_scales, None)
+        if normalise:
+            dist = denormalize_distribution(dist)
+        return dist.loc, dist.scale
+
+    return partial(fwd, qv.variables, qv.qweights, qv.act_scales)
 
 
 def make_quantized_forward(qv: QuantizedVAE, z_mode: str = "sample"):

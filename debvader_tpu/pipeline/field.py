@@ -279,11 +279,6 @@ class DeblendField:
             )
         self.quantized = quantized
         if quantized is not None:
-            if mesh is not None:
-                raise ValueError(
-                    "quantized serving and mesh-sharded inference are "
-                    "mutually exclusive (quantize per-chip instead)"
-                )
             if bool(getattr(quantized, "normalise", False)) != bool(normalise):
                 raise ValueError(
                     f"quantized bundle was calibrated with normalise="
@@ -292,9 +287,20 @@ class DeblendField:
                     f"only match the flux distribution they were calibrated "
                     f"on — re-run quantize_vae(..., normalise={normalise})"
                 )
-            from debvader_tpu.models.quantized import make_quantized_forward
+            if mesh is not None:
+                # r4: int8 serving composes with the mesh fan-out — the
+                # batch shards over 'data', int8 kernels/scales replicate
+                from debvader_tpu.models.quantized import (
+                    make_sharded_quantized_forward,
+                )
 
-            self._quant_fwd = make_quantized_forward(quantized, z_mode=z_mode)
+                self._quant_fwd = make_sharded_quantized_forward(
+                    quantized, mesh, z_mode=z_mode
+                )
+            else:
+                from debvader_tpu.models.quantized import make_quantized_forward
+
+                self._quant_fwd = make_quantized_forward(quantized, z_mode=z_mode)
         self.artifact = artifact
         if artifact is not None:
             if mesh is not None or quantized is not None:

@@ -698,20 +698,27 @@ def test_deblend_field_quantized_serving(tiny_net):
     assert (cat_e.epistemic_norm > 0).all()
 
 
-def test_quantized_mesh_mutually_exclusive(tiny_net):
+def test_quantized_mesh_composes(tiny_net):
+    """r4: int8 serving composes with the mesh fan-out (the former mutual
+    exclusion is lifted — make_sharded_quantized_forward shards the stamp
+    batch over 'data' with replicated int8 kernels/scales).  The sharded
+    quantized pipeline must reproduce the single-device quantized pipeline
+    up to float summation order (deterministic z_mode='mean')."""
     from debvader_tpu.models.quantized import quantize_vae
     from debvader_tpu.parallel.mesh import make_mesh
 
     model, variables = tiny_net
-    field, _ = _tiny_field()
-    calib = np.zeros((4, 23, 23, 3), np.float32)
+    field, centers = _tiny_field()
+    df0 = DeblendField(tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg())
+    calib = np.stack(list(df0.deblend_field(centers).cutout_images))
     qv = quantize_vae(model, variables, calib)
-    mesh = make_mesh(2)
-    with pytest.raises(ValueError, match="mutually exclusive"):
-        DeblendField(
-            tiny_net, field, cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg(),
-            quantized=qv, mesh=mesh,
-        )
+    kw = dict(cutout_size=23, nb_of_bands=3, cfg=_pipe_cfg(), quantized=qv,
+              z_mode="mean")
+    _, r_single = DeblendField(tiny_net, field, **kw).deblend_and_render(centers)
+    _, r_mesh = DeblendField(
+        tiny_net, field, mesh=make_mesh(4), **kw
+    ).deblend_and_render(centers)
+    np.testing.assert_allclose(r_mesh, r_single, rtol=1e-4, atol=1e-5)
 
 
 def test_quantized_forward_zeros_nonfinite_before_normalize(tiny_net):
