@@ -56,9 +56,9 @@ class ModelConfig:
     # comparably), so this flag no longer isolates it — the earlier
     # decoder-late-stage attribution (enc16+dec32 at 1e-6) held only for
     # the barely-trained r2 demo checkpoint.  The <=1e-4 serving mode is
-    # full float32.  The flag remains a checkpoint-compatible mechanism
-    # (tests/test_model.py pins the dtype split).  0 = everything in
-    # `dtype` (the fast default).
+    # fidelity_serving_config() (fp32 HIGH + flux calibration, r4).  The
+    # flag remains a checkpoint-compatible mechanism (tests/test_model.py
+    # pins the dtype split).  0 = everything in `dtype` (the fast default).
     decoder_f32_stages: int = 0
     # MXU pass count for float32 matmuls/convs (jax.lax.Precision).  On TPU
     # the hardware multiplies in bfloat16; None/'default' = one pass (each
@@ -66,9 +66,11 @@ class ModelConfig:
     # accumulation), 'high' = 3 passes (bf16x3 operand splitting — drops
     # the lo*lo term), 'highest' = 6 passes (full fp32 fidelity).
     # Measured ladder vs true fp32 (scripts/bench_precision.py, converged
-    # sim_demo weights): default 6.7e-3 max flux rel err, high 1.85e-4,
-    # highest 1.1e-6 — so the DC2 <=1e-4-vs-Keras fidelity clause needs
-    # 'highest' on TPU ('high' lands just over).  Irrelevant off-TPU and
+    # sim_demo weights): default 6.7e-3 max flux rel err, high 1.85e-4
+    # (a systematic truncation BIAS — see utils/flux_cal.py), highest
+    # 1.1e-6.  The DC2 <=1e-4-vs-Keras fidelity clause is met by 'high'
+    # PLUS flux calibration (6.5e-5 at 1.78x the 'highest' throughput;
+    # fidelity_serving_config / BASELINE.md r4).  Irrelevant off-TPU and
     # for dtype='bfloat16' stages.
     matmul_precision: str | None = None
     # Per-layer precision overrides: ((layer_key, rung), ...) pairs (a dict
