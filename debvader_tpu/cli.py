@@ -9,6 +9,7 @@ subcommands with the reference's defaults:
 - ``detect``           field .npy -> (N, 2) center offsets .npy
 - ``serve``            field .npy [+ centers] -> catalog .csv + residual .npy
 - ``train``            two-stage transfer training on (blended, isolated) .npy
+- ``quantize``         calibrate (+ optional QAT) an int8 serving bundle
 - ``export``           weights -> jax.export StableHLO artifact
 - ``import-weights``   reference TF checkpoint -> native weights dir
 
@@ -175,11 +176,17 @@ def _cmd_serve(args) -> int:
     net = _load_net(args)
     field = _load_field(args.field)
 
+    quantized = None
+    if getattr(args, "quantized", None):
+        from debvader_tpu.models.quantized import load_quantized
+
+        quantized = load_quantized(args.quantized)
     kw = dict(
         cutout_size=args.stamp_size,
         nb_of_bands=args.bands,
         normalise=args.normalise,
         artifact=getattr(args, "artifact", None),
+        quantized=quantized,
         # thread --tile/--overlap into the pipeline config so the
         # ITERATIVE path's internal detection honors them too
         cfg=PipelineConfig(
@@ -305,6 +312,42 @@ def _cmd_train(args) -> int:
     return 0
 
 
+def _cmd_quantize(args) -> int:
+    """Calibrate (and optionally QAT-fine-tune) an int8 serving bundle."""
+    import jax
+
+    from debvader_tpu.data.simulate import simulate_batch
+    from debvader_tpu.models.quantized import (
+        qat_finetune,
+        quantize_vae,
+        save_quantized,
+    )
+
+    model, variables = _load_net(args)
+    if args.calib_stamps:
+        calib = np.load(args.calib_stamps).astype(np.float32)
+    else:
+        cfg = model.cfg
+        calib, _, _ = simulate_batch(
+            jax.random.PRNGKey(11), args.calib_n,
+            stamp=cfg.stamp_size, bands=cfg.nb_of_bands,
+        )
+    qv = quantize_vae(
+        model, variables, calib, normalise=args.normalise
+    )
+    if args.qat_steps:
+        qv = qat_finetune(
+            qv, steps=args.qat_steps, batch=args.qat_batch,
+            learning_rate=args.qat_lr, teacher_variables=qv.variables,
+        )
+    save_quantized(qv, args.out)
+    print(
+        f"wrote {args.out} (int8 bundle, {len(qv.qweights)} quantized "
+        f"layers{', QAT ' + str(args.qat_steps) + ' steps' if args.qat_steps else ''})"
+    )
+    return 0
+
+
 def _cmd_export(args) -> int:
     from debvader_tpu.utils.export import export_deblender
 
@@ -371,6 +414,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="run the batched stamp forward from a jax.export artifact "
         "(weights still load for epistemic sampling, if enabled)",
     )
+    p.add_argument(
+        "--quantized",
+        help="int8 serving bundle dir from the `quantize` command — the "
+        "batched stamp forward runs the s8xs8->s32 MXU path (1.25x bf16; "
+        "accuracy envelope per the bundle's calibration/QAT, BASELINE.md)",
+    )
     p.add_argument("--field", required=True)
     p.add_argument("--centers", help="(N, 2) offsets .npy; omit to detect")
     p.add_argument("--out-prefix", required=True)
@@ -401,6 +450,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=int, help="data-parallel over N devices")
     p.add_argument("--metrics-log", help="JSONL epoch metrics path")
     p.set_defaults(fn=_cmd_train)
+
+    p = sub.add_parser(
+        "quantize",
+        help="calibrate (+ optional QAT fine-tune) an int8 serving bundle",
+    )
+    _model_flags(p)
+    p.add_argument("--weights")
+    p.add_argument("--out", required=True, help="output bundle dir")
+    p.add_argument(
+        "--calib-stamps",
+        help="(N, S, S, B) .npy of representative stamps; default: "
+        "simulated batch",
+    )
+    p.add_argument("--calib-n", type=int, default=128)
+    p.add_argument(
+        "--qat-steps", type=int, default=0,
+        help="straight-through-estimator self-distillation steps (500-1000 "
+        "takes int8 flux divergence 0.23 -> ~0.025 on converged weights; "
+        "BASELINE.md r4)",
+    )
+    p.add_argument("--qat-batch", type=int, default=256)
+    p.add_argument("--qat-lr", type=float, default=1e-4)
+    p.add_argument("--normalise", action="store_true")
+    p.set_defaults(fn=_cmd_quantize)
 
     p = sub.add_parser("export", help="StableHLO serving artifact")
     _model_flags(p)

@@ -98,6 +98,8 @@ __all__ = [
     "make_quantized_forward",
     "make_sharded_quantized_forward",
     "qat_finetune",
+    "save_quantized",
+    "load_quantized",
 ]
 
 
@@ -753,6 +755,74 @@ def qat_finetune(
             layers=list(qv.qweights),
         )
     return out
+
+
+def save_quantized(qv: QuantizedVAE, path) -> None:
+    """Persist a quantized serving bundle (float variables + int8 kernels +
+    activation scales + config/flags) so serving processes skip
+    recalibration and — after :func:`qat_finetune` — the fine-tune itself.
+    Orbax pytree checkpoint plus a JSON sidecar for the metadata."""
+    import dataclasses
+    import json
+    from pathlib import Path
+
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    tree = {
+        "variables": qv.variables,
+        "qweights": {k.replace("/", "|"): list(v) for k, v in qv.qweights.items()},
+        "act_scales": {k.replace("/", "|"): v for k, v in qv.act_scales.items()},
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path / "tree", tree, force=True)
+    meta = {
+        "model_cfg": dataclasses.asdict(qv.cfg),
+        "quantize_dense": qv.quantize_dense,
+        "quantize_final_conv": qv.quantize_final_conv,
+        "calib_stats": qv.calib_stats,
+        "normalise": qv.normalise,
+    }
+    (path / "meta.json").write_text(json.dumps(meta, indent=1))
+
+
+def load_quantized(path) -> QuantizedVAE:
+    """Restore a bundle written by :func:`save_quantized` (rebuilds the
+    DeblenderVAE from the stored ModelConfig)."""
+    import json
+    from pathlib import Path
+
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    meta = json.loads((path / "meta.json").read_text())
+    cfg_kw = meta["model_cfg"]
+    for key in ("filters", "kernels"):
+        cfg_kw[key] = tuple(cfg_kw[key])
+    if cfg_kw.get("layer_precision") is not None:
+        cfg_kw["layer_precision"] = tuple(
+            tuple(kv) for kv in cfg_kw["layer_precision"]
+        )
+    cfg = ModelConfig(**cfg_kw)
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(path / "tree")
+    qweights = {
+        k.replace("|", "/"): (jnp.asarray(v[0], jnp.int8), jnp.asarray(v[1]))
+        for k, v in tree["qweights"].items()
+    }
+    act_scales = {
+        k.replace("|", "/"): jnp.asarray(v) for k, v in tree["act_scales"].items()
+    }
+    return QuantizedVAE(
+        model=DeblenderVAE(cfg),
+        variables=jax.tree_util.tree_map(jnp.asarray, tree["variables"]),
+        qweights=qweights,
+        act_scales=act_scales,
+        quantize_dense=meta["quantize_dense"],
+        quantize_final_conv=meta["quantize_final_conv"],
+        calib_stats=meta["calib_stats"],
+        normalise=meta["normalise"],
+    )
 
 
 def make_sharded_quantized_forward(

@@ -119,3 +119,56 @@ def test_cli_deblend_f32_stages(weights_dir):
     assert rc == 0
     means = np.load(root / "means_mp.npy")
     assert means.shape == (4, 23, 23, 3) and np.isfinite(means).all()
+
+
+def test_cli_quantize_and_serve(weights_dir):
+    """r4: quantize bundles persist and serve — calibrate (+2 QAT steps for
+    the mechanism), save, reload through `serve --quantized`."""
+    root, weights = weights_dir
+    field = _field(root)
+    bundle = root / "int8_bundle"
+    rc = main(
+        ["quantize", *TINY, "--weights", str(weights), "--out", str(bundle),
+         "--calib-n", "8", "--qat-steps", "2", "--qat-batch", "4"]
+    )
+    assert rc == 0
+    rc = main(
+        ["serve", *TINY, "--weights", str(weights), "--field", str(field),
+         "--centers", str(root / "centers.npy"),
+         "--out-prefix", str(root / "q8"), "--quantized", str(bundle)]
+    )
+    assert rc == 0
+    residual = np.load(str(root / "q8_residual.npy"))
+    assert np.isfinite(residual).all()
+
+
+def test_quantized_bundle_roundtrip(weights_dir, tmp_path):
+    """save_quantized/load_quantized reproduce the int8 forward exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from debvader_tpu.models.quantized import (
+        load_quantized,
+        quantize_vae,
+        quantized_forward,
+        save_quantized,
+    )
+    from debvader_tpu.training.checkpoint import load_weights_from
+    from debvader_tpu.config import ModelConfig
+    from debvader_tpu.models.vae import DeblenderVAE
+
+    root, weights = weights_dir
+    cfg = ModelConfig(stamp_size=23, nb_of_bands=3, latent_dim=4,
+                      filters=(4, 8), kernels=(3, 3))
+    model = DeblenderVAE(cfg)
+    variables = load_weights_from(weights)
+    rng = np.random.default_rng(5)
+    calib = rng.normal(size=(8, 23, 23, 3)).astype(np.float32)
+    qv = quantize_vae(model, variables, calib)
+    save_quantized(qv, tmp_path / "bundle")
+    qv2 = load_quantized(tmp_path / "bundle")
+    assert qv2.cfg == cfg and qv2.normalise == qv.normalise
+    x = rng.normal(size=(3, 23, 23, 3)).astype(np.float32)
+    a, _ = quantized_forward(qv, x, jax.random.PRNGKey(0), z_mode="mean")
+    b, _ = quantized_forward(qv2, x, jax.random.PRNGKey(0), z_mode="mean")
+    np.testing.assert_array_equal(np.asarray(a.loc), np.asarray(b.loc))
