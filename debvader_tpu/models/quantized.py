@@ -768,12 +768,17 @@ def save_quantized(qv: QuantizedVAE, path) -> None:
 
     import orbax.checkpoint as ocp
 
+    import numpy as np
+
     path = Path(path).resolve()
     tree = {
         "variables": qv.variables,
         "qweights": {k.replace("/", "|"): list(v) for k, v in qv.qweights.items()},
         "act_scales": {k.replace("/", "|"): v for k, v in qv.act_scales.items()},
     }
+    # host numpy before saving: orbax otherwise records device shardings
+    # and the bundle only restores on an identical topology
+    tree = jax.tree_util.tree_map(np.asarray, tree)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path / "tree", tree, force=True)
     meta = {

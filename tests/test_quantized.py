@@ -290,3 +290,34 @@ def test_qat_finetune_mechanism(tiny):
         np.asarray(qv.variables["batch_stats"]["encoder"]["BatchNorm_0"]["mean"]),
         np.asarray(qv2.variables["batch_stats"]["encoder"]["BatchNorm_0"]["mean"]),
     )
+
+
+def test_packaged_int8_bundle_serves():
+    """The shipped QAT'd sim_demo_int8 bundle loads and serves: finite
+    outputs, and int8-vs-its-own-float-forward divergence within the
+    measured envelope (BASELINE.md r4: mean 2.5e-2 on held-out sims;
+    loose 2x bound here on a small batch)."""
+    from pathlib import Path
+
+    from debvader_tpu.data.simulate import simulate_batch
+    from debvader_tpu.models.quantized import load_quantized, quantized_forward
+    from debvader_tpu.training.checkpoint import default_weights_dir
+
+    import debvader_tpu as dt
+
+    bundle = Path(default_weights_dir()) / "sim_demo_int8"
+    qv = load_quantized(bundle)
+    assert qv.cfg.stamp_size == 59 and len(qv.qweights) == 18
+    x, _, _ = simulate_batch(jax.random.PRNGKey(123), 16)
+    dq, _ = quantized_forward(qv, x, jax.random.PRNGKey(0), z_mode="mean")
+    assert np.isfinite(np.asarray(dq.loc)).all()
+    # The meaningful comparator is the ORIGINAL sim_demo float forward —
+    # the QAT distillation teacher.  (The bundle's own quant=False fallback
+    # is the fine-tuned floats, which deliberately drifted toward the int8
+    # grid; int8-vs-them measures the drift, ~0.19, not the serving error.)
+    model, variables = dt.load_deblender("sim_demo")
+    dist_f, _ = model.apply(variables, x, z_mode="mean")
+    fq = np.asarray(dq.loc, np.float64).sum(axis=(1, 2, 3))
+    ff = np.asarray(dist_f.loc, np.float64).sum(axis=(1, 2, 3))
+    rel = np.abs(fq - ff) / np.maximum(np.abs(ff), 1e-9)
+    assert rel.mean() < 5e-2
