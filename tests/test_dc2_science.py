@@ -17,9 +17,11 @@ truth-catalog coordinates:
   inside the extraction-valid region lands a finite catalog row, and
   measured fluxes are positive for the bright sources.
 
-Field -> truth pairing follows the reference notebooks' naming:
-field_img.npy + gal_coordinates_complete_truth_catalog.npy, _2 with _2,
-_3 with _3 (/root/reference/src/debvader/data/dc2_imgs/field/).
+Truth catalogs hold GLOBAL (x, y) positions; center offsets are
+``(truth - field_center)[:, [1, 0]]`` (the convention the in-repo DC2
+slice test uses).  Fields 2 and 3 ship their center files; field 1 does
+not, so the harness covers 2 and 3
+(/root/reference/src/debvader/data/dc2_imgs/field/).
 """
 
 import os
@@ -37,9 +39,16 @@ pytestmark = pytest.mark.skipif(
 )
 
 FIELDS = [
-    ("field_img.npy", "gal_coordinates_complete_truth_catalog.npy"),
-    ("field_img_2.npy", "gal_coordinates_complete_truth_catalog_2.npy"),
-    ("field_img_3.npy", "gal_coordinates_complete_truth_catalog_3.npy"),
+    (
+        "field_img_2.npy",
+        "gal_coordinates_complete_truth_catalog_2.npy",
+        "field_center_2.npy",
+    ),
+    (
+        "field_img_3.npy",
+        "gal_coordinates_complete_truth_catalog_3.npy",
+        "field_center_3.npy",
+    ),
 ]
 
 
@@ -55,12 +64,14 @@ def dc2_net():
     return model, attach_flux_calibration(model, variables)
 
 
-@pytest.mark.parametrize("field_name,truth_name", FIELDS)
-def test_dc2_field_science(dc2_net, field_name, truth_name):
+@pytest.mark.parametrize("field_name,truth_name,center_name", FIELDS)
+def test_dc2_field_science(dc2_net, field_name, truth_name, center_name):
     from debvader_tpu.pipeline.field import DeblendField
 
     field = np.load(FIELD_DIR / field_name).astype(np.float32)
-    truth = np.load(FIELD_DIR / truth_name).astype(np.float32)
+    truth_xy = np.load(FIELD_DIR / truth_name)
+    center = np.load(FIELD_DIR / center_name)
+    truth = (truth_xy - center)[:, [1, 0]].astype(np.float32)
     df = DeblendField(dc2_net, field, z_mode="mean")
     catalog, residual = df.deblend_and_render(
         truth, optimise_positions=True, measure=True
