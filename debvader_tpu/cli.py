@@ -290,6 +290,7 @@ def _cmd_train(args) -> int:
         args.survey,
         args.from_survey,
         args.epochs,
+        steps_per_dispatch=args.steps_per_dispatch,
         training_data_vae=(x[n_val:], y[n_val:]),
         validation_data_vae=(x[:n_val], y[:n_val]),
         training_data_deblender=(x[n_val:], y[n_val:]),
@@ -449,6 +450,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--val-fraction", type=float, default=0.1)
     p.add_argument("--mesh", type=int, help="data-parallel over N devices")
     p.add_argument("--metrics-log", help="JSONL epoch metrics path")
+    p.add_argument(
+        "--steps-per-dispatch", type=int, default=1,
+        help="scan K full batches per device dispatch (host-data training "
+        "throughput lever; datasets that fit HBM stay resident — "
+        "BASELINE.md r4)",
+    )
     p.set_defaults(fn=_cmd_train)
 
     p = sub.add_parser(

@@ -737,11 +737,18 @@ def train_deblender(
     weights_dir: str | None = None,
     mesh=None,
     metrics_log=None,
+    steps_per_dispatch: int = 1,
+    device_dataset: bool | None = None,
 ):
     """Two-stage transfer trainer, signature-compatible with the reference
     train_deblender (training/train.py:78-205).
 
     Returns (hist_vae, hist_deblender, state, model).
+
+    ``steps_per_dispatch`` / ``device_dataset`` thread through to both
+    stages' epoch loops (train_network): scan K full batches per device
+    dispatch, optionally with the datasets resident in HBM — the
+    host-data throughput lever (BASELINE.md r4).
 
     ``mesh``: run both stages data-parallel over a device mesh (BASELINE
     config 3 is ``train_deblender(..., mesh=parallel.make_mesh())``); the
@@ -795,7 +802,8 @@ def train_deblender(
     state, hist_vae = train_network(
         model, state, epochs, training_data_vae, validation_data_vae,
         batch_size, callbacks_vae, verbose, train_cfg, mesh=mesh,
-        metrics_log=metrics_log,
+        metrics_log=metrics_log, steps_per_dispatch=steps_per_dispatch,
+        device_dataset=device_dataset,
     )
 
     # Stage 2: fresh optimizer with the decoder frozen
@@ -814,7 +822,8 @@ def train_deblender(
     state2, hist_deblender = train_network(
         model, state2, epochs, training_data_deblender, validation_data_deblender,
         batch_size, callbacks_debl, verbose, train_cfg, mesh=mesh,
-        metrics_log=metrics_log,
+        metrics_log=metrics_log, steps_per_dispatch=steps_per_dispatch,
+        device_dataset=device_dataset,
     )
 
     return hist_vae, hist_deblender, state2, model

@@ -282,3 +282,27 @@ def test_steps_per_dispatch_mesh_matches_per_step():
     _assert_metrics_parity(
         run(), run(mesh=make_mesh(), steps_per_dispatch=2), rtol=1e-4
     )
+
+
+def test_train_deblender_steps_per_dispatch():
+    """The reference-shaped two-stage entry point threads
+    steps_per_dispatch through both stages (lr=0 metric parity vs the
+    per-step path, like the train_network tests)."""
+    from debvader_tpu.training.train import train_deblender
+
+    x, y = _toy(12, seed=21)
+    xv, yv = _toy(4, seed=22)
+    cfg = TrainConfig(learning_rate=0.0, seed=3, batch_size=4)
+
+    def run(spd):
+        return train_deblender(
+            "testsurvey", None, 1, (x, y), (xv, yv), (x, y), (xv, yv),
+            nb_of_bands=3, batch_size=4, verbose=0, train_cfg=cfg,
+            model_cfg=TINY, steps_per_dispatch=spd,
+        )
+
+    h1_vae, h1_d, _, _ = run(1)
+    h2_vae, h2_d, _, _ = run(3)
+    for a, b in ((h1_vae, h2_vae), (h1_d, h2_d)):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-5)
