@@ -61,7 +61,10 @@ def _measure(cfg, flux_cal: bool = False) -> float:
         return dist.loc
 
     x = jnp.asarray(
-        np.random.default_rng(0).normal(size=(BATCH, 59, 59, 6)), jnp.float32
+        np.random.default_rng(0).normal(
+            size=(BATCH, cfg.stamp_size, cfg.stamp_size, cfg.nb_of_bands)
+        ),
+        jnp.float32,
     )
     rng = jax.random.PRNGKey(1)
     draws = itertools.count()
@@ -108,6 +111,18 @@ def main():
     )
     print(f"fidelity ({fidelity_desc}): {fidelity:,.0f} stamps/s", file=sys.stderr)
 
+    # The literal BASELINE.json north-star workload is 45x45x6 (the repo's
+    # headline stays the reference's own 59x59x6 stamp, which is ~1.7x the
+    # pixels) — measure the compliant mode on the target's own stamp so
+    # clause compliance is unambiguous (VERDICT r4 #9).
+    import dataclasses
+
+    fidelity45 = _measure(
+        dataclasses.replace(fidelity_cfg, stamp_size=45),
+        flux_cal=FIDELITY_NEEDS_FLUX_CAL,
+    )
+    print(f"fidelity 45x45x6: {fidelity45:,.0f} stamps/s", file=sys.stderr)
+
     best = max(results, key=results.get)
     stamps_per_sec = results[best]
     print(
@@ -121,6 +136,10 @@ def main():
                 "fidelity_stamps_per_sec": round(fidelity, 1),
                 "fidelity_vs_baseline": round(fidelity / NORTH_STAR, 4),
                 "fidelity_config": fidelity_desc,
+                "fidelity_stamps_per_sec_45x45x6": round(fidelity45, 1),
+                "fidelity_45x45x6_vs_baseline": round(
+                    fidelity45 / NORTH_STAR, 4
+                ),
             }
         )
     )

@@ -509,6 +509,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # Persistent compilation cache: the measured cold-start lever
+    # (BASELINE.md r4: serve cold start 20.4 -> 11.5 s on repeat
+    # processes).  Best-effort; opt out with DEBVADER_NO_COMPILE_CACHE=1.
+    import os
+
+    if not os.environ.get("DEBVADER_NO_COMPILE_CACHE"):
+        from debvader_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
     return args.fn(args)
 
 

@@ -109,13 +109,32 @@ class ModelConfig:
                 if isinstance(self.layer_precision, dict)
                 else tuple(tuple(kv) for kv in self.layer_precision)
             )
+            valid_keys = self.precision_layer_keys()
             for key, rung in items:
+                if key not in valid_keys:
+                    # A typo'd key would silently fall back to
+                    # matmul_precision — in a precision-placement workflow
+                    # that is a silently non-compliant serving mode.
+                    raise ValueError(
+                        f"layer_precision key {key!r} names no MXU layer of "
+                        f"this architecture; valid keys: {sorted(valid_keys)}"
+                    )
                 if rung not in self._RUNGS:
                     raise ValueError(
                         f"layer_precision[{key!r}] must be one of "
                         f"{self._RUNGS}, got {rung!r}"
                     )
             object.__setattr__(self, "layer_precision", items)
+
+    def precision_layer_keys(self) -> frozenset:
+        """The enumerable MXU-layer key set `layer_precision` may name
+        (models/vae.py threads these through models/precision.py)."""
+        s = len(self.filters)
+        return frozenset(
+            [f"enc/Conv_{i}" for i in range(2 * s)]
+            + [f"dec/ConvT_{i}" for i in range(2 * s)]
+            + ["enc/Dense_0", "dec/Dense_0", "dec/Dense_1", "dec/Conv_0"]
+        )
 
     def layer_rung(self, key: str) -> str | None:
         """Precision rung for one MXU layer, or None = use matmul_precision."""

@@ -73,6 +73,7 @@ from the production forward only at the quantization points.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from dataclasses import dataclass, field
 from functools import partial
@@ -205,10 +206,31 @@ class QuantizedVAE:
     # calibrated on raw survey fluxes are orders of magnitude too wide for
     # (-1, 1)-normalized inputs, quantizing them all to ~0.
     normalise: bool = False
+    # Set by qat_finetune: sha256 prefix of the float teacher params the
+    # fine-tune distilled against.  Non-None marks the bundle as already
+    # fine-tuned, which arms the re-teaching guard in qat_finetune (the
+    # teacher must stay the ORIGINAL floats across chained calls —
+    # re-deriving it from a drifted bundle diverges, 0.025 -> 0.53 over
+    # four chained 500-step calls, BASELINE.md r4).
+    teacher_fingerprint: str | None = None
 
     @property
     def cfg(self) -> ModelConfig:
         return self.model.cfg
+
+
+def params_fingerprint(params) -> str:
+    """Deterministic 16-hex-digit fingerprint of a float param pytree
+    (leaf bytes in tree-flatten order) — identifies a QAT teacher across
+    save/load cycles."""
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(params):
+        h.update(np.asarray(leaf).tobytes())
+    return h.hexdigest()[:16]
 
 
 # ------------------------------------------------------------------- layers
@@ -648,10 +670,21 @@ def qat_finetune(
     # fine-tuned bundle makes the student chase a moving target and
     # diverge (measured: int8-vs-original error 0.025 after one 500-step
     # call, 0.53 after four chained calls re-teaching each time).
+    if teacher_variables is None and qv.teacher_fingerprint is not None:
+        raise ValueError(
+            "qat_finetune on an already-fine-tuned bundle (teacher "
+            f"fingerprint {qv.teacher_fingerprint}) without an explicit "
+            "teacher_variables would re-teach from the drifted weights — "
+            "measured to diverge (int8-vs-original flux error 0.025 after "
+            "one 500-step call, 0.53 after four chained re-teaching calls; "
+            "BASELINE.md r4).  Pass teacher_variables= the ORIGINAL float "
+            "variables the first fine-tune used."
+        )
     teacher_params = jax.tree_util.tree_map(
         jnp.array,
         (teacher_variables or qv.variables)["params"],
     )
+    teacher_fp = params_fingerprint(teacher_params)
 
     def loss_fn(params, x, y, rng):
         variables = {"params": params, "batch_stats": base["batch_stats"]}
@@ -691,8 +724,8 @@ def qat_finetune(
     params0 = base["params"]
     opt_state0 = tx.init(params0)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def run_chunk(params, opt_state, base_key):
+    @partial(jax.jit, static_argnums=(3,), donate_argnums=(0, 1))
+    def run_chunk(params, opt_state, base_key, n):
         def body(carry, i):
             params, opt_state = carry
             key = jax.random.fold_in(base_key, i)
@@ -710,7 +743,7 @@ def qat_finetune(
             return (optax.apply_updates(params, updates), opt_state), loss
 
         (params, opt_state), losses_chunk = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(steps_per_dispatch)
+            body, (params, opt_state), jnp.arange(n)
         )
         return params, opt_state, losses_chunk
 
@@ -718,10 +751,14 @@ def qat_finetune(
     key = jax.random.PRNGKey(seed)
     done = 0
     while done < steps:
+        # Size the final chunk exactly (one extra compile when steps is not
+        # a multiple of steps_per_dispatch) so the trained step count is
+        # the requested budget, not rounded up to it.
+        n = min(steps_per_dispatch, steps - done)
         params, opt_state, losses_chunk = run_chunk(
-            params, opt_state, jax.random.fold_in(key, done)
+            params, opt_state, jax.random.fold_in(key, done), n
         )
-        done += steps_per_dispatch
+        done += n
 
     new_vars = dict(qv.variables, params=params)
     qweights = {
@@ -742,6 +779,7 @@ def qat_finetune(
         quantize_final_conv=qv.quantize_final_conv,
         calib_stats=qv.calib_stats,
         normalise=qv.normalise,
+        teacher_fingerprint=teacher_fp,
     )
     if recalibrate:
         out = quantize_vae(
@@ -754,6 +792,7 @@ def qat_finetune(
             normalise=qv.normalise,
             layers=list(qv.qweights),
         )
+        out = dataclasses.replace(out, teacher_fingerprint=teacher_fp)
     return out
 
 
@@ -787,6 +826,8 @@ def save_quantized(qv: QuantizedVAE, path) -> None:
         "quantize_final_conv": qv.quantize_final_conv,
         "calib_stats": qv.calib_stats,
         "normalise": qv.normalise,
+        # QAT marker: arms the re-teaching guard when the bundle reloads
+        "teacher_fingerprint": qv.teacher_fingerprint,
     }
     (path / "meta.json").write_text(json.dumps(meta, indent=1))
 
@@ -827,6 +868,7 @@ def load_quantized(path) -> QuantizedVAE:
         quantize_final_conv=meta["quantize_final_conv"],
         calib_stats=meta["calib_stats"],
         normalise=meta["normalise"],
+        teacher_fingerprint=meta.get("teacher_fingerprint"),
     )
 
 

@@ -191,6 +191,17 @@ def load_deblender(
     from debvader_tpu.config import ModelConfig
     from debvader_tpu.models.vae import DeblenderVAE
 
+    # Production entry points pay compiles in the minutes without the
+    # persistent cache (BASELINE.md r4 cold-start table: 20.4 -> 11.5 s);
+    # enable it best-effort here so every loader-based serving process
+    # benefits.  Opt out with DEBVADER_NO_COMPILE_CACHE=1.
+    import os
+
+    if not os.environ.get("DEBVADER_NO_COMPILE_CACHE"):
+        from debvader_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+
     cfg = ModelConfig(
         stamp_size=input_shape[0],
         nb_of_bands=input_shape[-1],

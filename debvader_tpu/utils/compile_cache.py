@@ -7,9 +7,11 @@ a persistent on-disk compilation cache; this helper turns it on with
 sensible defaults so serving processes and repeated benchmark runs reuse
 each other's compiles.
 
-Opt-in: call ``enable_compilation_cache()`` before the first jit (bench.py
-and the bench scripts do), or set ``JAX_COMPILATION_CACHE_DIR`` in the
-environment, which JAX honors natively.
+Enabled by default in the production entries — ``cli.main`` and
+``training.checkpoint.load_deblender`` call it best-effort (opt out with
+``DEBVADER_NO_COMPILE_CACHE=1``) — as well as by bench.py and the bench
+scripts.  Setting ``JAX_COMPILATION_CACHE_DIR`` in the environment also
+works natively and overrides the default directory.
 """
 
 from __future__ import annotations
@@ -30,7 +32,8 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     cache_dir: target directory (created if missing).  Defaults to
     ``$JAX_COMPILATION_CACHE_DIR`` or ``~/.cache/debvader_tpu/xla``.
     Programs compiling in under 1 s are not persisted (cache churn for no
-    win); all supported backends are allowed so CPU test runs cache too.
+    win; override via ``$DEBVADER_CACHE_MIN_COMPILE_SECS`` — tests use 0);
+    all supported backends are allowed so CPU test runs cache too.
 
     Best-effort: an unwritable filesystem or an old JAX without these
     flags returns None rather than failing the caller — the cache is an
@@ -45,7 +48,8 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
         path = Path(cache_dir).expanduser()
         path.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(path))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        min_secs = float(os.environ.get("DEBVADER_CACHE_MIN_COMPILE_SECS", 1.0))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", min_secs)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except (OSError, AttributeError, ValueError):
         return None

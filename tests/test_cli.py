@@ -172,3 +172,45 @@ def test_quantized_bundle_roundtrip(weights_dir, tmp_path):
     a, _ = quantized_forward(qv, x, jax.random.PRNGKey(0), z_mode="mean")
     b, _ = quantized_forward(qv2, x, jax.random.PRNGKey(0), z_mode="mean")
     np.testing.assert_array_equal(np.asarray(a.loc), np.asarray(b.loc))
+
+
+def test_cli_enables_compilation_cache(weights_dir, tmp_path, monkeypatch):
+    """Production CLI entries enable the persistent compilation cache (the
+    measured cold-start lever, BASELINE.md r4: 20.4 -> 11.5 s) and populate
+    the cache directory; DEBVADER_NO_COMPILE_CACHE=1 opts out."""
+    import jax
+
+    root, weights = weights_dir
+    rng = np.random.default_rng(9)
+    np.save(root / "cc_stamps.npy",
+            rng.normal(size=(2, 23, 23, 3)).astype(np.float32))
+    cache = tmp_path / "xla-cache"
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(cache))
+    # CPU-test compiles finish under the production 1 s persistence
+    # threshold; drop it so population is observable here
+    monkeypatch.setenv("DEBVADER_CACHE_MIN_COMPILE_SECS", "0")
+    monkeypatch.delenv("DEBVADER_NO_COMPILE_CACHE", raising=False)
+    # the fixture's train run already initialized the process-wide cache
+    # singleton at its default dir; reset so the re-pointed dir takes
+    from jax._src import compilation_cache
+
+    compilation_cache.reset_cache()
+    rc = main(
+        ["deblend", *TINY, "--weights", str(weights),
+         "--stamps", str(root / "cc_stamps.npy"),
+         "--out", str(root / "cc_means.npy")]
+    )
+    assert rc == 0
+    assert jax.config.jax_compilation_cache_dir == str(cache)
+    assert any(cache.iterdir()), "CLI run did not populate the cache dir"
+
+    # opt-out leaves the config wherever the caller had it
+    monkeypatch.setenv("DEBVADER_NO_COMPILE_CACHE", "1")
+    jax.config.update("jax_compilation_cache_dir", None)
+    rc = main(
+        ["deblend", *TINY, "--weights", str(weights),
+         "--stamps", str(root / "cc_stamps.npy"),
+         "--out", str(root / "cc_means.npy")]
+    )
+    assert rc == 0
+    assert jax.config.jax_compilation_cache_dir is None

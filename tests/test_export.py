@@ -91,6 +91,32 @@ def test_artifact_forward_matches_live_model():
     )
 
 
+def test_export_bakes_flux_calibration():
+    """Exporting variables that carry a flux_cal collection must bake the
+    photometric correction into the artifact: an exported fidelity-mode
+    forward without it would silently serve the uncalibrated ~1.9e-4-bias
+    outputs (ADVICE r4).  The artifact must match the calibrated live
+    forward, and differ from the uncalibrated one."""
+    from debvader_tpu.api import deblend
+    from debvader_tpu.utils.export import artifact_forward
+
+    model = DeblenderVAE(TINY)
+    variables = init_vae(model, jax.random.PRNGKey(0))
+    # a synthetic calibration gain (attach_flux_calibration on TINY would
+    # measure ~1.0 on CPU; a visible gain pins the application path)
+    cal_vars = dict(
+        variables, flux_cal={"scale": jnp.asarray([1.01, 0.99, 1.02])}
+    )
+    x = np.random.default_rng(4).normal(size=(3, 23, 23, 3)).astype(np.float32)
+    rng = jax.random.PRNGKey(7)
+    want, _ = deblend((model, cal_vars), x, rng=rng)
+    raw, _ = deblend((model, variables), x, rng=rng)
+    fwd = artifact_forward(export_deblender(model, cal_vars))
+    got, _ = fwd(x, rng)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+    assert not np.allclose(np.asarray(got), np.asarray(raw), rtol=1e-4)
+
+
 def test_deblend_field_artifact_matches_live(tmp_path):
     """DeblendField(artifact=...) serves the exported program through the
     full scene pipeline with the same products as the live model."""

@@ -110,6 +110,22 @@ def test_layer_precision_validation():
         ModelConfig(layer_precision={"enc/Conv_0": "bf16x7"})
 
 
+def test_layer_precision_rejects_unknown_keys():
+    """A typo'd layer key would silently fall back to matmul_precision — in
+    a precision-placement workflow that is a silently non-compliant serving
+    mode (ADVICE r4).  Keys validate against the enumerable MXU-layer set."""
+    with pytest.raises(ValueError, match="names no MXU layer"):
+        ModelConfig(layer_precision={"dec/Convt_0": "highest"})  # bad case
+    with pytest.raises(ValueError, match="names no MXU layer"):
+        # ConvT_8 exceeds the 2*len(filters)=8 range of the default arch
+        ModelConfig(layer_precision={"dec/ConvT_8": "high"})
+    # every advertised key of the default architecture is accepted
+    cfg = ModelConfig()
+    ModelConfig(
+        layer_precision={k: "high" for k in cfg.precision_layer_keys()}
+    )
+
+
 def test_flux_calibration_attach_and_apply(tiny):
     """deblend() honors an attached flux_cal collection: outputs divide by
     the per-band gain; absent -> identical to the uncalibrated forward."""

@@ -292,6 +292,63 @@ def test_qat_finetune_mechanism(tiny):
     )
 
 
+def test_qat_reteaching_guard(tiny, tmp_path):
+    """Chained fine-tunes without an explicit teacher re-teach from the
+    drifted bundle — measured to diverge (0.025 -> 0.53 over four calls,
+    BASELINE.md r4).  qat_finetune marks its output with the teacher
+    fingerprint and REFUSES a second call that omits teacher_variables;
+    passing the original floats explicitly resumes fine.  The marker
+    survives save/load so reloaded bundles stay guarded."""
+    from debvader_tpu.data.simulate import simulate_batch
+    from debvader_tpu.models.quantized import (
+        load_quantized,
+        params_fingerprint,
+        qat_finetune,
+        quantize_vae,
+        save_quantized,
+    )
+
+    model, variables, _ = tiny
+    calib, _, _ = simulate_batch(jax.random.PRNGKey(3), 8, stamp=23, bands=3)
+    qv = quantize_vae(model, variables, calib)
+    assert qv.teacher_fingerprint is None  # fresh PTQ bundle: unguarded
+
+    # steps below steps_per_dispatch exercises the exact-budget final chunk
+    qv2 = qat_finetune(qv, steps=4, batch=8, steps_per_dispatch=10)
+    assert qv2.teacher_fingerprint == params_fingerprint(
+        variables["params"]
+    )
+
+    with pytest.raises(ValueError, match="re-teach"):
+        qat_finetune(qv2, steps=4, batch=8, steps_per_dispatch=10)
+
+    # explicit original teacher resumes
+    qv3 = qat_finetune(
+        qv2, steps=4, batch=8, steps_per_dispatch=10,
+        teacher_variables=variables,
+    )
+    assert qv3.teacher_fingerprint == qv2.teacher_fingerprint
+
+    save_quantized(qv2, tmp_path / "bundle")
+    reloaded = load_quantized(tmp_path / "bundle")
+    assert reloaded.teacher_fingerprint == qv2.teacher_fingerprint
+    with pytest.raises(ValueError, match="re-teach"):
+        qat_finetune(reloaded, steps=4, batch=8, steps_per_dispatch=10)
+
+
+def test_packaged_int8_bundle_is_guarded():
+    """The shipped sim_demo_int8 bundle was QAT'd; its metadata must carry
+    the teacher fingerprint so users who reload and fine-tune it hit the
+    re-teaching guard instead of the measured divergence."""
+    from pathlib import Path
+
+    from debvader_tpu.models.quantized import load_quantized
+    from debvader_tpu.training.checkpoint import default_weights_dir
+
+    qv = load_quantized(Path(default_weights_dir()) / "sim_demo_int8")
+    assert qv.teacher_fingerprint is not None
+
+
 def test_packaged_int8_bundle_serves():
     """The shipped QAT'd sim_demo_int8 bundle loads and serves: finite
     outputs, and int8-vs-its-own-float-forward divergence within the
