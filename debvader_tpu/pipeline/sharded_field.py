@@ -122,6 +122,13 @@ class ShardedFieldDeblender:
     Supported products: ``deblend_and_render`` (catalog + residual
     [+ model]).  Epistemic sampling and the predicted-field canvases stay
     on the single-chip driver for now.
+
+    ``quantized``: a models.quantized.QuantizedVAE — the band-local stamp
+    forward runs the fake-quant-free int8 serving path (s8xs8->s32 MXU)
+    with the int8 kernels and activation scales replicated over the mesh,
+    composing the fastest serving mode with the biggest-field mode
+    (VERDICT r4 #6).  Epistemic sampling stays float (the bundle's float
+    variables), matching the single-chip driver's contract.
     """
 
     def __init__(
@@ -137,6 +144,7 @@ class ShardedFieldDeblender:
         rng: jax.Array | None = None,
         z_mode: str = "sample",
         halo: int | None = None,
+        quantized=None,
     ):
         from debvader_tpu.pipeline.field import _check_field_image
 
@@ -194,6 +202,34 @@ class ShardedFieldDeblender:
         model, variables = net
         self._model = model
         self._variables = jax.device_put(variables, self._replicated)
+        self.quantized = quantized
+        if quantized is not None:
+            if bool(getattr(quantized, "normalise", False)) != bool(normalise):
+                raise ValueError(
+                    f"quantized bundle was calibrated with normalise="
+                    f"{getattr(quantized, 'normalise', False)} but the "
+                    f"pipeline was built with normalise={normalise}; the "
+                    f"activation scales only match their calibration "
+                    f"transform"
+                )
+            # int8 kernels + activation scales replicate over the mesh like
+            # the float weights; each band runs the identical per-shard
+            # int8 forward (the make_sharded_quantized_forward contract,
+            # here inlined into the band-local chunk program)
+            self._q_variables = jax.device_put(
+                quantized.variables, self._replicated
+            )
+            self._q_weights = jax.device_put(
+                quantized.qweights, self._replicated
+            )
+            self._q_scales = jax.device_put(
+                quantized.act_scales, self._replicated
+            )
+            self._net_input = (
+                self._q_variables, self._q_weights, self._q_scales
+            )
+        else:
+            self._net_input = self._variables
         self._shards = None  # lazy: built on first serve
         self._steps: dict[int, callable] = {}
         self._finish = None
@@ -305,6 +341,8 @@ class ShardedFieldDeblender:
         w = self.cfg.mse_window
         c0, c1 = cs // 2 - w, cs // 2 + w
         model, normalise, z_mode = self._model, self.normalise, self.z_mode
+        quantized = self.quantized
+        q_cfg = quantized.cfg if quantized is not None else None
         bound, gn_iters = self.cfg.position_bounds, self.cfg.gn_iterations
         order = self.cfg.interp_order
         # integer row re-base: global offsets (from the F-field center)
@@ -314,7 +352,11 @@ class ShardedFieldDeblender:
 
         n_epi = self.cfg.epistemic_samples
 
-        def body(variables, band, starts, mask, dets, rng, canvases):
+        def body(net_input, band, starts, mask, dets, rng, canvases):
+            if quantized is not None:
+                variables, qweights, act_scales = net_input
+            else:
+                variables = net_input
             band = band[0]
             starts, mask, dets = starts[0], mask[0], dets[0]
             canvases = jax.tree_util.tree_map(lambda c: c[0], canvases)
@@ -335,7 +377,15 @@ class ShardedFieldDeblender:
                 from debvader_tpu.ops.normalize import normalize_non_linear
 
                 x = normalize_non_linear(x0)
-            dist, _ = model.apply(variables, x, rng=rng, z_mode=z_mode)
+            if quantized is not None:
+                from debvader_tpu.models.quantized import _forward as q_fwd
+
+                dist, _ = q_fwd(
+                    q_cfg, variables, x, rng, z_mode, qweights, act_scales,
+                    None,
+                )
+            else:
+                dist, _ = model.apply(variables, x, rng=rng, z_mode=z_mode)
             from debvader_tpu.utils.flux_cal import apply_flux_calibration
 
             dist = apply_flux_calibration(dist, variables)
@@ -798,7 +848,7 @@ class ShardedFieldDeblender:
                 dets[k, :nk] = centers[take]
                 idx[k, :nk] = take
             canvases, scalars = step(
-                self._variables,
+                self._net_input,
                 shards,
                 jax.device_put(starts, self._banded),
                 jax.device_put(mask, self._banded),

@@ -121,6 +121,9 @@ def main():
         }
         for gname, keys in GROUPS.items():
             jobs.append((gname, "highest", {k: "highest" for k in keys}))
+            # r5: the 3-pass rung per group — the roofline for the
+            # calibrated-HIGH fidelity mode decomposes over these
+            jobs.append((gname, "high", {k: "high" for k in keys}))
     else:
         for key in SMALL_MAP:
             jobs += [(key, "bf16x4"), (key, "bf16x5")]

@@ -368,3 +368,45 @@ def test_sharded_timings_instrumented(tiny_net):
     assert cat2 is not None
     for key in ("upload", "deblend_render", "subtract", "field_download"):
         assert t2[key] >= 0.0
+
+
+def test_sharded_quantized_matches_single_device(tiny_net):
+    """int8 composes with field sharding (VERDICT r4 #6): the band-local
+    chunk forward runs the fake-quant-free int8 path with replicated
+    kernels/scales, matching the single-chip DeblendField(quantized=...)
+    driver's catalog and residual; a normalise-mismatched bundle is
+    rejected like the single-chip driver rejects it."""
+    from debvader_tpu.data.simulate import simulate_batch
+    from debvader_tpu.models.quantized import quantize_vae
+
+    model, variables = tiny_net
+    calib, _, _ = simulate_batch(jax.random.PRNGKey(5), 16, stamp=CS, bands=B)
+    qv = quantize_vae(model, variables, calib)
+
+    field, centers = _field(seed=7)
+    df = DeblendField(
+        tiny_net, field, cutout_size=CS, nb_of_bands=B, cfg=_cfg(),
+        z_mode="mean", quantized=qv,
+    )
+    cat_s, res_s = df.deblend_and_render(centers)
+    sf = ShardedFieldDeblender(
+        tiny_net, field, _mesh(), cutout_size=CS, nb_of_bands=B, cfg=_cfg(),
+        z_mode="mean", quantized=qv,
+    )
+    cat_p, res_p = sf.deblend_and_render(centers)
+    np.testing.assert_array_equal(cat_p.list_idx, cat_s.list_idx)
+    np.testing.assert_allclose(cat_p.mse_center, cat_s.mse_center, rtol=1e-4)
+    np.testing.assert_allclose(res_p, res_s, atol=2e-5)
+    # int8 really served: the quantized residual differs from the float one
+    sf2 = ShardedFieldDeblender(
+        tiny_net, field, _mesh(), cutout_size=CS, nb_of_bands=B, cfg=_cfg(),
+        z_mode="mean",
+    )
+    _, res_float = sf2.deblend_and_render(centers)
+    assert np.abs(res_p - res_float).max() > 1e-4
+
+    with pytest.raises(ValueError, match="normalise"):
+        ShardedFieldDeblender(
+            tiny_net, field, _mesh(), cutout_size=CS, nb_of_bands=B,
+            cfg=_cfg(), z_mode="mean", normalise=True, quantized=qv,
+        )
