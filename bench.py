@@ -42,7 +42,7 @@ NORTH_STAR = 1e5  # stamps/sec/chip, BASELINE.json
 BATCH = 4096
 
 
-def _measure(cfg, flux_cal: bool = False) -> float:
+def _measure(cfg, flux_cal: bool = False, batch: int = BATCH) -> float:
     from debvader_tpu.models.vae import DeblenderVAE, init_vae
     from debvader_tpu.utils.timing import median_seconds_per_iter
 
@@ -62,7 +62,7 @@ def _measure(cfg, flux_cal: bool = False) -> float:
 
     x = jnp.asarray(
         np.random.default_rng(0).normal(
-            size=(BATCH, cfg.stamp_size, cfg.stamp_size, cfg.nb_of_bands)
+            size=(batch, cfg.stamp_size, cfg.stamp_size, cfg.nb_of_bands)
         ),
         jnp.float32,
     )
@@ -78,7 +78,7 @@ def _measure(cfg, flux_cal: bool = False) -> float:
     # run); the median of 7 spans more wall time and rejects both-sided
     # outliers at ~4 s extra cost
     dt = median_seconds_per_iter(step, iters=10, warmup_iters=5, reps=7)
-    return BATCH / dt
+    return batch / dt
 
 
 def main():
@@ -87,12 +87,22 @@ def main():
 
     enable_compilation_cache()  # repeated runs skip the slow first compile
 
+    # Batch is a free serving parameter for a stamps/sec/chip metric;
+    # the r5 sweeps (scripts/bench_batch_sweep59.py, bench_fidelity45.py)
+    # found batch ~1536 measurably faster than the historical 4096 for the
+    # bf16 and 45x45 lines (128.8k vs 123.8k; 102.7-104.6k vs 99.2k), so
+    # each arm measures at its tuned batch.
     results = {}
-    for name, sub in (("convT", False), ("subpixel", True)):
+    for name, sub, batch in (
+        ("convT", False, 1536),
+        ("convT@4096", False, 4096),
+        ("subpixel", True, 1536),
+    ):
         results[name] = _measure(
-            ModelConfig(dtype="bfloat16", decoder_subpixel=sub)
+            ModelConfig(dtype="bfloat16", decoder_subpixel=sub), batch=batch
         )
-        print(f"{name}: {results[name]:,.0f} stamps/s", file=sys.stderr)
+        print(f"{name} (batch {batch}): {results[name]:,.0f} stamps/s",
+              file=sys.stderr)
 
     # Second headline (VERDICT r3 #6): the <=1e-4-fidelity-clause serving
     # mode, so the driver's BENCH history tracks progress on the one
@@ -120,6 +130,7 @@ def main():
     fidelity45 = _measure(
         dataclasses.replace(fidelity_cfg, stamp_size=45),
         flux_cal=FIDELITY_NEEDS_FLUX_CAL,
+        batch=1536,
     )
     print(f"fidelity 45x45x6: {fidelity45:,.0f} stamps/s", file=sys.stderr)
 
@@ -132,7 +143,7 @@ def main():
                 "value": round(stamps_per_sec, 1),
                 "unit": "stamps/sec",
                 "vs_baseline": round(stamps_per_sec / NORTH_STAR, 4),
-                "config": f"decoder={best}",
+                "config": f"decoder={best.split('@')[0]}",
                 "fidelity_stamps_per_sec": round(fidelity, 1),
                 "fidelity_vs_baseline": round(fidelity / NORTH_STAR, 4),
                 "fidelity_config": fidelity_desc,

@@ -139,6 +139,31 @@ def _quant_weight(kernel: jax.Array, out_axis: int) -> tuple[jax.Array, jax.Arra
     return q, scale
 
 
+def _in_reshape(s_in: jax.Array, ndim: int, in_axis: int) -> jax.Array:
+    shape = [1] * ndim
+    shape[in_axis] = -1
+    return s_in.reshape(shape)
+
+
+def _quant_weight_folded(
+    kernel: jax.Array, out_axis: int, in_axis: int, s_in: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Weight quantization with per-input-channel activation scales FOLDED
+    in: quantize ``w' = w * s_in[cin]`` per output channel.  The int8
+    contraction then computes ``sum_cin round(h/s_in) * q_w'`` whose
+    dequant is the unchanged single per-cout multiply — per-channel
+    activation resolution at zero runtime cost (the r4 verdict's concern
+    that per-channel scales break the s8xs8->s32 dequant does not apply to
+    the folded form; this is the SmoothQuant-style scale-migration algebra
+    at full migration)."""
+    if jnp.ndim(s_in) == 0:
+        return _quant_weight(kernel, out_axis)
+    k = kernel.astype(jnp.float32) * _in_reshape(
+        s_in.astype(jnp.float32), kernel.ndim, in_axis
+    )
+    return _quant_weight(k, out_axis)
+
+
 def _quant_act(h: jax.Array, scale: jax.Array) -> jax.Array:
     q = jnp.round(h.astype(jnp.float32) / scale)
     return jnp.clip(q, -127, 127).astype(jnp.int8)
@@ -158,25 +183,54 @@ def _fake_quant_act(h: jax.Array, scale: jax.Array) -> jax.Array:
     return jnp.where(inside, hf + lax.stop_gradient(q - hf), lax.stop_gradient(q))
 
 
-def _fake_quant_weight(kernel: jax.Array, out_axis: int) -> jax.Array:
+def _fake_quant_weight(
+    kernel: jax.Array,
+    out_axis: int,
+    in_axis: int | None = None,
+    s_in: jax.Array | None = None,
+) -> jax.Array:
     """Differentiable per-output-channel weight quantization (STE).  The
     scale tracks the live weights (stop-gradient through the max), so the
     QAT forward always matches what post-training requantization of the
-    fine-tuned weights will serve."""
+    fine-tuned weights will serve.
+
+    With a vector ``s_in`` (per-channel activation scales), the STE grid
+    reproduces the FOLDED serving quantization (_quant_weight_folded):
+    fake(w) = unfold(ste_quant(w * s_in))."""
     k = kernel.astype(jnp.float32)
+    fold = s_in is not None and jnp.ndim(s_in) > 0
+    if fold:
+        sb = lax.stop_gradient(
+            _in_reshape(s_in.astype(jnp.float32), k.ndim, in_axis)
+        )
+        k = k * sb
     axes = tuple(a for a in range(k.ndim) if a != out_axis)
     absmax = jnp.max(jnp.abs(k), axis=axes, keepdims=True)
     scale = lax.stop_gradient(jnp.maximum(absmax, 1e-30) / 127.0)
     q = jnp.clip(jnp.round(k / scale), -127, 127) * scale
-    return k + lax.stop_gradient(q - k)
+    out = k + lax.stop_gradient(q - k)
+    if fold:
+        out = out / sb
+    return out
 
 
-def _calib_stat(h: jax.Array, q: float = 1.0) -> jax.Array:
-    """Per-tensor calibration statistic: abs-max (q >= 1) or the q-quantile
-    of |h| (activation-outlier clipping — with converged weights a handful
-    of outlier activations otherwise set the scale and squeeze the bulk of
-    the distribution into a few int8 levels)."""
+def _calib_stat(
+    h: jax.Array, q: float = 1.0, per_channel: bool = False
+) -> jax.Array:
+    """Calibration statistic: abs-max (q >= 1) or the q-quantile of |h|
+    (activation-outlier clipping — with converged weights a handful of
+    outlier activations otherwise set the scale and squeeze the bulk of
+    the distribution into a few int8 levels).
+
+    ``per_channel=True`` reduces over everything EXCEPT the trailing
+    (input-channel) axis — the r5 per-channel activation granularity,
+    served via weight folding (_quant_weight_folded)."""
     a = jnp.abs(h.astype(jnp.float32))
+    if per_channel:
+        axes = tuple(range(a.ndim - 1))
+        if q >= 1.0:
+            return jnp.max(a, axis=axes)
+        return jnp.quantile(a.reshape(-1, a.shape[-1]), q, axis=0)
     if q >= 1.0:
         return jnp.max(a)
     return jnp.quantile(a.ravel(), q)
@@ -213,6 +267,11 @@ class QuantizedVAE:
     # re-deriving it from a drifted bundle diverges, 0.025 -> 0.53 over
     # four chained 500-step calls, BASELINE.md r4).
     teacher_fingerprint: str | None = None
+    # 'per_tensor' (r3 default) or 'per_channel' (r5): the activation-scale
+    # granularity the bundle was calibrated with.  Per-channel scales are
+    # folded into qweights, so serving code is identical either way; the
+    # field exists so save/load and re-quantization reproduce the grid.
+    act_granularity: str = "per_tensor"
 
     @property
     def cfg(self) -> ModelConfig:
@@ -253,12 +312,16 @@ def _apply_conv(
     grid points via the STE helpers, float accumulation, gradients flow."""
     p = params[name.split("/")[-1]]
     if collect is not None:
-        collect[name] = _calib_stat(h, getattr(collect, "q", 1.0))
+        collect[name] = _calib_stat(
+            h,
+            getattr(collect, "q", 1.0),
+            getattr(collect, "per_channel", False),
+        )
     if qw is not None and name in qw:
         if fake:
             y = lax.conv_general_dilated(
                 _fake_quant_act(h, ascales[name]),
-                _fake_quant_weight(p["kernel"], 3),
+                _fake_quant_weight(p["kernel"], 3, 2, ascales[name]),
                 strides,
                 "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -266,6 +329,9 @@ def _apply_conv(
             return (y + p["bias"].astype(jnp.float32)).astype(dtype)
         qk, wscale = qw[name]
         s_in = ascales[name]
+        # vector s_in = per-channel activation scales, already folded into
+        # wscale by _quant_weight_folded: dequant stays one per-cout multiply
+        dq = s_in if jnp.ndim(s_in) == 0 else 1.0
         y = lax.conv_general_dilated(
             _quant_act(h, s_in),
             qk,
@@ -274,7 +340,7 @@ def _apply_conv(
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32,
         )
-        y = y.astype(jnp.float32) * (s_in * wscale)
+        y = y.astype(jnp.float32) * (dq * wscale)
         y = (y + p["bias"].astype(jnp.float32)).astype(dtype)
         return y
     # float path: mirrors flax nn.Conv(dtype=dtype) — kernel cast to dtype
@@ -306,12 +372,16 @@ def _apply_convT(
     axis 2, so per-output-channel weight scales index that axis."""
     p = params[name.split("/")[-1]]
     if collect is not None:
-        collect[name] = _calib_stat(h, getattr(collect, "q", 1.0))
+        collect[name] = _calib_stat(
+            h,
+            getattr(collect, "q", 1.0),
+            getattr(collect, "per_channel", False),
+        )
     if qw is not None and name in qw:
         if fake:
             y = lax.conv_transpose(
                 _fake_quant_act(h, ascales[name]),
-                _fake_quant_weight(p["kernel"], 2),
+                _fake_quant_weight(p["kernel"], 2, 3, ascales[name]),
                 strides=strides,
                 padding="SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -320,6 +390,7 @@ def _apply_convT(
             return (y + p["bias"].astype(jnp.float32)).astype(dtype)
         qk, wscale = qw[name]
         s_in = ascales[name]
+        dq = s_in if jnp.ndim(s_in) == 0 else 1.0
         y = lax.conv_transpose(
             _quant_act(h, s_in),
             qk,
@@ -329,7 +400,7 @@ def _apply_convT(
             transpose_kernel=True,
             preferred_element_type=jnp.int32,
         )
-        y = y.astype(jnp.float32) * (s_in * wscale)
+        y = y.astype(jnp.float32) * (dq * wscale)
         return (y + p["bias"].astype(jnp.float32)).astype(dtype)
     y = lax.conv_transpose(
         h.astype(dtype),
@@ -354,22 +425,27 @@ def _apply_dense(
 ) -> jax.Array:
     p = params[name.split("/")[-1]]
     if collect is not None:
-        collect[name] = _calib_stat(h, getattr(collect, "q", 1.0))
+        collect[name] = _calib_stat(
+            h,
+            getattr(collect, "q", 1.0),
+            getattr(collect, "per_channel", False),
+        )
     if qw is not None and name in qw:
         if fake:
             y = _fake_quant_act(h, ascales[name]) @ _fake_quant_weight(
-                p["kernel"], 1
+                p["kernel"], 1, 0, ascales[name]
             )
             return (y + p["bias"].astype(jnp.float32)).astype(dtype)
         qk, wscale = qw[name]
         s_in = ascales[name]
+        dq = s_in if jnp.ndim(s_in) == 0 else 1.0
         y = lax.dot_general(
             _quant_act(h, s_in),
             qk,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        y = y.astype(jnp.float32) * (s_in * wscale)
+        y = y.astype(jnp.float32) * (dq * wscale)
         return (y + p["bias"].astype(jnp.float32)).astype(dtype)
     return h.astype(dtype) @ p["kernel"].astype(dtype) + p["bias"].astype(dtype)
 
@@ -472,6 +548,12 @@ def _layer_names(cfg: ModelConfig, quantize_dense: bool, quantize_final_conv: bo
     return names
 
 
+def np_asarray_list(v) -> list:
+    import numpy as np
+
+    return np.asarray(v, np.float64).tolist()
+
+
 def quantize_vae(
     model: DeblenderVAE,
     variables: Any,
@@ -482,6 +564,7 @@ def quantize_vae(
     normalise: bool = False,
     layers: "list[str] | None" = None,
     calib_quantile: float = 1.0,
+    act_granularity: str = "per_tensor",
 ) -> QuantizedVAE:
     """Calibrate activation scales on `calib_images` and quantize weights.
 
@@ -509,7 +592,15 @@ def quantize_vae(
     of quantization-point names (see _layer_names for the naming scheme) —
     the lever for selective PTQ, e.g. quantizing only the peak-bound
     >=128-channel stages while the lane-bound decoder tail (which the int8
-    MXU rate cannot speed up anyway — docs/DESIGN.md §4) stays float."""
+    MXU rate cannot speed up anyway — docs/DESIGN.md §4) stays float.
+
+    ``act_granularity``: 'per_tensor' (default) or 'per_channel' —
+    per-input-channel activation scales, served by folding the scales into
+    the weight quantization (_quant_weight_folded), so the int8 runtime
+    path and its cost are IDENTICAL; only the effective quantization grid
+    changes.  The r4 QAT floor (~2.5e-2 flux divergence) was attributed to
+    per-tensor activation-scale resolution; this is the next rung
+    (measured envelope: scripts/ablate_quantized.py / BASELINE.md r5)."""
     cfg = model.cfg
     if cfg.decoder_f32_stages:
         raise ValueError(
@@ -518,6 +609,11 @@ def quantize_vae(
             "trade-offs, and the quantized forward does not implement the "
             "per-stage dtype split — build the model with "
             "decoder_f32_stages=0 to quantize"
+        )
+    if act_granularity not in ("per_tensor", "per_channel"):
+        raise ValueError(
+            "act_granularity must be 'per_tensor' or 'per_channel', got "
+            f"{act_granularity!r}"
         )
     if layers is not None:
         valid = set(
@@ -539,6 +635,7 @@ def quantize_vae(
 
     class _Collect(dict):
         q = float(calib_quantile)
+        per_channel = act_granularity == "per_channel"
 
     @jax.jit
     def calib(variables, x, rng):
@@ -564,14 +661,19 @@ def quantize_vae(
         # conv HWIO -> out axis 3; convT TF layout (kh,kw,out,in) -> axis 2;
         # dense (in, out) -> axis 1
         if layer.startswith("ConvTranspose"):
-            out_axis = 2
+            out_axis, in_axis = 2, 3
         elif layer.startswith("Conv"):
-            out_axis = 3
+            out_axis, in_axis = 3, 2
         else:
-            out_axis = 1
-        qweights[name] = _quant_weight(p["kernel"], out_axis)
+            out_axis, in_axis = 1, 0
+        qweights[name] = _quant_weight_folded(
+            p["kernel"], out_axis, in_axis, act_scales[name]
+        )
 
-    calib_stats = {k: float(v) for k, v in amax.items()}
+    calib_stats = {
+        k: (float(v) if jnp.ndim(v) == 0 else np_asarray_list(v))
+        for k, v in amax.items()
+    }
     return QuantizedVAE(
         model=model,
         variables=variables,
@@ -581,6 +683,7 @@ def quantize_vae(
         quantize_final_conv=quantize_final_conv,
         calib_stats=calib_stats,
         normalise=normalise,
+        act_granularity=act_granularity,
     )
 
 
@@ -761,15 +864,22 @@ def qat_finetune(
         done += n
 
     new_vars = dict(qv.variables, params=params)
-    qweights = {
-        name: _quant_weight(
-            new_vars["params"]["encoder" if name.startswith("enc") else "decoder"][
-                name.split("/")[-1]
-            ]["kernel"],
-            2 if "ConvTranspose" in name else (3 if "Conv" in name else 1),
+
+    def requant(name):
+        kernel = new_vars["params"][
+            "encoder" if name.startswith("enc") else "decoder"
+        ][name.split("/")[-1]]["kernel"]
+        if "ConvTranspose" in name:
+            out_axis, in_axis = 2, 3
+        elif "Conv" in name:
+            out_axis, in_axis = 3, 2
+        else:
+            out_axis, in_axis = 1, 0
+        return _quant_weight_folded(
+            kernel, out_axis, in_axis, qv.act_scales[name]
         )
-        for name in qv.qweights
-    }
+
+    qweights = {name: requant(name) for name in qv.qweights}
     out = QuantizedVAE(
         model=qv.model,
         variables=new_vars,
@@ -780,6 +890,7 @@ def qat_finetune(
         calib_stats=qv.calib_stats,
         normalise=qv.normalise,
         teacher_fingerprint=teacher_fp,
+        act_granularity=qv.act_granularity,
     )
     if recalibrate:
         out = quantize_vae(
@@ -791,6 +902,7 @@ def qat_finetune(
             quantize_final_conv=qv.quantize_final_conv,
             normalise=qv.normalise,
             layers=list(qv.qweights),
+            act_granularity=qv.act_granularity,
         )
         out = dataclasses.replace(out, teacher_fingerprint=teacher_fp)
     return out
@@ -828,6 +940,7 @@ def save_quantized(qv: QuantizedVAE, path) -> None:
         "normalise": qv.normalise,
         # QAT marker: arms the re-teaching guard when the bundle reloads
         "teacher_fingerprint": qv.teacher_fingerprint,
+        "act_granularity": qv.act_granularity,
     }
     (path / "meta.json").write_text(json.dumps(meta, indent=1))
 
@@ -869,6 +982,7 @@ def load_quantized(path) -> QuantizedVAE:
         calib_stats=meta["calib_stats"],
         normalise=meta["normalise"],
         teacher_fingerprint=meta.get("teacher_fingerprint"),
+        act_granularity=meta.get("act_granularity", "per_tensor"),
     )
 
 

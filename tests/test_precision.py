@@ -202,6 +202,57 @@ def test_fidelity_mode_compliant_emulated():
     assert cal_err < raw_err / 2
 
 
+def test_fidelity_mode_compliant_45x45_emulated():
+    """The literal BASELINE.json north-star workload is 45x45x6; the r5
+    bench line serves it in the same calibrated-HIGH mode and crosses the
+    1e5 stamps/s target (BASELINE.md r5).  Pin the <=1e-4 clause side for
+    the 45 architecture: the RTZ truncation bias is an arithmetic property
+    of the layer stack, so the calibration works on this arch too
+    (measured here under CPU emulation: raw ~1.9e-4 -> ~3.4e-5)."""
+    import dataclasses
+
+    from debvader_tpu.data.simulate import simulate_batch
+    from debvader_tpu.models.vae import init_vae
+    from debvader_tpu.utils.flux_cal import (
+        apply_flux_calibration,
+        attach_flux_calibration,
+    )
+
+    ref_model = DeblenderVAE(ModelConfig(stamp_size=45))  # true fp32 on CPU
+    variables = init_vae(ref_model, jax.random.PRNGKey(3))
+    cfg = dataclasses.replace(
+        fidelity_serving_config(limb_emulation=True), stamp_size=45
+    )
+    model = DeblenderVAE(cfg)
+    cal_vars = attach_flux_calibration(model, variables, n=64)
+    test = jnp.asarray(
+        np.asarray(
+            simulate_batch(jax.random.PRNGKey(7), 64, stamp=45)[0], np.float32
+        )
+    )
+
+    @jax.jit
+    def both(variables, test):
+        core = {k: variables[k] for k in ("params", "batch_stats")}
+        ref = ref_model.apply(core, test, z_mode="mean")[0].loc
+        dist, _ = model.apply(core, test, z_mode="mean")
+        return ref, dist.loc, apply_flux_calibration(dist, variables).loc
+
+    ref, raw, cal = jax.device_get(both(cal_vars, test))
+    tr = ref.astype(np.float64).sum(axis=(1, 2, 3))
+
+    def max_rel(a):
+        return float(
+            np.max(
+                np.abs(a.astype(np.float64).sum(axis=(1, 2, 3)) - tr)
+                / np.abs(tr)
+            )
+        )
+
+    assert max_rel(raw) > 1e-4
+    assert max_rel(cal) < 1e-4
+
+
 def test_fidelity_calibration_transfers_to_real_stamps():
     """The gain is an arithmetic property, not a data fit: the correction
     measured on SIMULATED stamps must bring REAL DC2 cutouts into the
