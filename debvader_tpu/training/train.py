@@ -18,6 +18,7 @@ step.
 from __future__ import annotations
 
 from functools import partial
+from pathlib import Path
 from typing import Any, Callable, Iterable
 
 import jax
@@ -35,6 +36,7 @@ __all__ = [
     "create_train_state",
     "make_train_step",
     "make_chunked_train_step",
+    "make_epoch_scan_train_step",
     "make_eval_step",
     "train_network",
     "train_deblender",
@@ -347,6 +349,122 @@ def make_superbatch_train_step(
     return run_super
 
 
+def make_epoch_scan_train_step(
+    model: DeblenderVAE,
+    train_cfg: TrainConfig | None = None,
+    *,
+    track_monitors: tuple = (),
+    donate: bool = True,
+) -> Callable:
+    """ALL epochs in ONE device dispatch (VERDICT r4 #8): nested lax.scan —
+    epochs over (steps, then validation batches) — over a device-resident
+    dataset, with per-epoch metric sums and device-side best-validation
+    state tracking, so the per-epoch host syncs the K-step path still paid
+    (epoch-metrics fetch + validation dispatches, measured ~5.5 s/epoch
+    through this environment's tunnel, BASELINE.md r4) collapse to one
+    dispatch and one fetch for the whole fit.
+
+    Returns a jitted ``(state, x_all, y_all, idx, xs_va, ys_va, val_seed)
+    -> (state, epoch_terms, val_terms, best)`` where
+
+    - ``idx`` is (E, S, B) int32: per-epoch shuffled batch indices into the
+      resident dataset (gather mode, single device);
+    - ``xs_va``/``ys_va`` are (V, vb, ...) pre-blocked validation batches;
+    - ``epoch_terms``/``val_terms`` have a leading (E,) axis (sums over the
+      epoch's steps / validation batches);
+    - ``best`` maps each metric in ``track_monitors`` (e.g. 'loss', 'mse')
+      to ``(best_val, params, batch_stats)`` — the state at the epoch that
+      minimized that VALIDATION metric, tracked with jnp.where inside the
+      scan (this is what lets best-val checkpointing survive without a
+      host round-trip per epoch).
+
+    Validation rng matches the per-epoch path exactly:
+    ``fold_in(fold_in(PRNGKey(seed), epoch), batch_i)`` with BN in
+    inference mode.  Training steps are make_train_step's arithmetic (same
+    loss_fn, rng threading, optimizer update) in a different XLA program —
+    float-epsilon parity, pinned in tests/test_training_extras.py.
+    """
+    train_cfg = train_cfg or TrainConfig()
+    loss_fn = make_loss_fn(model, train_cfg)
+
+    def train_body(st, ix, x_all, y_all):
+        x = jnp.take(x_all, ix, axis=0)
+        y = jnp.take(y_all, ix, axis=0)
+        rng, new_rng = jax.random.split(st.rng)
+        grads, (terms, new_bs) = jax.grad(loss_fn, has_aux=True)(
+            st.params, st.batch_stats, x, y, rng, st.step
+        )
+        return st.apply_gradients(grads, new_bs, new_rng), terms
+
+    def eval_terms(st, x, y, rng):
+        def fwd(m, x, rng):
+            posterior = m.encode(x, train=False)
+            z = posterior.sample(rng)
+            dist = m.decode(z)
+            return dist, posterior, z
+
+        dist, posterior, z = model.apply(
+            {"params": st.params, "batch_stats": st.batch_stats}, x, rng,
+            method=fwd,
+        )
+        return losses.elbo_terms(
+            dist, posterior, y, z=z,
+            kl_weight=train_cfg.kl_weight, kl_mode=train_cfg.kl_mode,
+        )
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def run_epochs(state, x_all, y_all, idx, xs_va, ys_va, val_seed):
+        n_val = xs_va.shape[0]
+
+        def init_best(st):
+            return {
+                m: (jnp.inf, st.params, st.batch_stats)
+                for m in track_monitors
+            }
+
+        def epoch_body(carry, e_and_idx):
+            st, best = carry
+            e, idx_e = e_and_idx
+            st, terms = jax.lax.scan(
+                lambda s, ix: train_body(s, ix, x_all, y_all), st, idx_e
+            )
+            terms = jax.tree_util.tree_map(lambda t: t.sum(0), terms)
+            val_rng = jax.random.fold_in(jax.random.PRNGKey(val_seed), e)
+            _, vterms = jax.lax.scan(
+                lambda _, ixy: (
+                    None,
+                    eval_terms(
+                        st, ixy[0], ixy[1], jax.random.fold_in(val_rng, ixy[2])
+                    ),
+                ),
+                None,
+                (xs_va, ys_va, jnp.arange(n_val)),
+            )
+            vterms = jax.tree_util.tree_map(lambda t: t.sum(0), vterms)
+            new_best = {}
+            for m, (bv, bp, bbs) in best.items():
+                cur = vterms[m] / n_val
+                better = cur < bv
+                pick = lambda a, b: jax.tree_util.tree_map(  # noqa: E731
+                    lambda u, v: jnp.where(better, u, v), a, b
+                )
+                new_best[m] = (
+                    jnp.where(better, cur, bv),
+                    pick(st.params, bp),
+                    pick(st.batch_stats, bbs),
+                )
+            return (st, new_best), (terms, vterms)
+
+        (state, best), (terms_e, vterms_e) = jax.lax.scan(
+            epoch_body,
+            (state, init_best(state)),
+            (jnp.arange(idx.shape[0]), idx),
+        )
+        return state, terms_e, vterms_e, best
+
+    return run_epochs
+
+
 def make_eval_step(model: DeblenderVAE, train_cfg: TrainConfig | None = None):
     """Jitted validation step (BN in inference mode, sampled latent like the
     reference's Keras validation pass)."""
@@ -468,6 +586,120 @@ def _make_step_runners(model, train_cfg, batch_size, mesh):
     return run_train, run_eval, lambda state: shard_train_state(state, mesh)
 
 
+def _train_scanned_epochs(
+    model, state, epochs, x_tr, y_tr, x_va, y_va, batch_size, callbacks,
+    verbose, train_cfg, metrics_log, shuffle_rng, *, use_loader, mesh,
+    history,
+):
+    """train_network's scan_epochs=True path: one dispatch for the whole
+    fit (see make_epoch_scan_train_step), then a host-side replay that
+    reconstructs the per-epoch logs/history/callback behavior from the
+    (E,)-stacked metric arrays and the device-tracked best-val states."""
+    from debvader_tpu.training.checkpoint import save_weights
+
+    if use_loader or mesh is not None:
+        raise ValueError(
+            "scan_epochs requires in-memory array data on a single device "
+            "(no loader, no mesh)"
+        )
+    n = len(x_tr)
+    if n % batch_size:
+        raise ValueError(
+            f"scan_epochs needs len(training_data) % batch_size == 0 for "
+            f"static scanned shapes, got {n} % {batch_size} — trim or pad "
+            f"the training set, or use steps_per_dispatch instead"
+        )
+    cbs = list(callbacks or [])
+    for cb in cbs:
+        if not (hasattr(cb, "monitor") and hasattr(cb, "directory")):
+            raise ValueError(
+                "scan_epochs supports BestValCheckpoint-shaped callbacks "
+                f"only (monitor + directory); got {type(cb).__name__}"
+            )
+    monitors = sorted(
+        {
+            cb.monitor[4:] if cb.monitor.startswith("val_") else cb.monitor
+            for cb in cbs
+        }
+    )
+
+    steps = n // batch_size
+    idx = np.empty((epochs, steps, batch_size), np.int32)
+    for e in range(epochs):
+        blocks = list(
+            _batches(n, batch_size, shuffle_rng if train_cfg.shuffle else None)
+        )
+        idx[e] = np.stack(blocks)
+
+    # validation blocks, mirroring the per-epoch path's drop-remainder rule
+    n_val_steps = max(int(len(x_va) / batch_size), 1)
+    vblocks = [
+        b
+        for i, b in enumerate(
+            _batches(
+                len(x_va), batch_size, None,
+                drop_remainder=len(x_va) >= batch_size,
+            )
+        )
+        if i < n_val_steps
+    ]
+    xs_va = jnp.asarray(
+        np.stack([np.asarray(x_va[b], np.float32) for b in vblocks])
+    )
+    ys_va = jnp.asarray(
+        np.stack([np.asarray(y_va[b], np.float32) for b in vblocks])
+    )
+
+    run = make_epoch_scan_train_step(
+        model, train_cfg, track_monitors=tuple(monitors)
+    )
+    state, terms_e, vterms_e, best = run(
+        state,
+        jnp.asarray(x_tr, jnp.float32),
+        jnp.asarray(y_tr, jnp.float32),
+        jnp.asarray(idx),
+        xs_va,
+        ys_va,
+        int(train_cfg.seed),
+    )
+
+    # ONE host fetch for the whole fit's metrics
+    terms_h, vterms_h = jax.device_get((terms_e, vterms_e))
+    n_v = len(vblocks)
+    initial_best = {id(cb): cb.best for cb in cbs}
+    for e in range(epochs):
+        logs = {k: float(v[e]) / steps for k, v in terms_h.items()}
+        logs.update({f"val_{k}": float(v[e]) / n_v for k, v in vterms_h.items()})
+        for k, v in logs.items():
+            history.setdefault(k, []).append(v)
+        if verbose == 1:
+            msg = " ".join(f"{k}={v:.4f}" for k, v in logs.items())
+            print(f"epoch {e + 1}/{epochs}: {msg}")
+        if metrics_log is not None:
+            metrics_log.log(e, **logs)
+        for cb in cbs:
+            cur = logs.get(cb.monitor)
+            if cur is not None and cur < cb.best:
+                if getattr(cb, "verbose", 0):
+                    print(
+                        f"epoch {e + 1}: {cb.monitor} improved "
+                        f"{cb.best:.5f} -> {cur:.5f}, saving to {cb.directory}"
+                    )
+                cb.best = cur
+    # persist each callback's device-tracked best state (the state at its
+    # argmin epoch — identical to what per-epoch on_epoch_end would have
+    # saved last)
+    for cb in cbs:
+        key = cb.monitor[4:] if cb.monitor.startswith("val_") else cb.monitor
+        bv, bp, bbs = best[key]
+        if float(bv) < initial_best[id(cb)]:
+            save_weights(
+                Path(cb.directory) / "ckpt",
+                {"params": bp, "batch_stats": bbs},
+            )
+    return state, history
+
+
 def train_network(
     model: DeblenderVAE,
     state: TrainState,
@@ -482,6 +714,7 @@ def train_network(
     metrics_log=None,
     steps_per_dispatch: int = 1,
     device_dataset: bool | None = None,
+    scan_epochs: bool = False,
 ):
     """Epoch loop mirroring the reference train_network (training/train.py:11-39).
 
@@ -511,6 +744,17 @@ def train_network(
     = auto (single-device, dataset <= 4 GB); ignored for loaders.  With
     ``mesh`` the superbatch path is used instead (sharded over 'data';
     requires batch_size divisible by the data axis).
+
+    ``scan_epochs``: run the ENTIRE fit — every epoch's training steps AND
+    its validation pass, with device-side best-val state tracking — as one
+    device dispatch (make_epoch_scan_train_step), eliminating the per-epoch
+    host syncs the K-step path still pays (measured ~5.5 s/epoch through
+    this environment's tunnel; BASELINE.md r5 for the measured end-to-end
+    gain).  Requires array data on a single device (no mesh/loader), a
+    training-set size divisible by batch_size, and callbacks that are
+    BestValCheckpoint-shaped (monitor + directory); epoch logs, history,
+    metrics_log records and best-val checkpoint files match the per-epoch
+    path (float-epsilon on metrics — different XLA program).
     """
     train_cfg = train_cfg or TrainConfig()
     run_train, run_eval, shard_state = _make_step_runners(
@@ -542,6 +786,13 @@ def train_network(
         x_tr, y_tr = training_data
     x_va, y_va = validation_data
     history: dict[str, list[float]] = {}
+
+    if scan_epochs:
+        return _train_scanned_epochs(
+            model, state, epochs, x_tr, y_tr, x_va, y_va, batch_size,
+            callbacks, verbose, train_cfg, metrics_log, shuffle_rng,
+            use_loader=use_loader, mesh=mesh, history=history,
+        )
 
     # --- steps_per_dispatch machinery -------------------------------------
     x_dev = y_dev = None
@@ -739,6 +990,7 @@ def train_deblender(
     metrics_log=None,
     steps_per_dispatch: int = 1,
     device_dataset: bool | None = None,
+    scan_epochs: bool = False,
 ):
     """Two-stage transfer trainer, signature-compatible with the reference
     train_deblender (training/train.py:78-205).
@@ -803,7 +1055,7 @@ def train_deblender(
         model, state, epochs, training_data_vae, validation_data_vae,
         batch_size, callbacks_vae, verbose, train_cfg, mesh=mesh,
         metrics_log=metrics_log, steps_per_dispatch=steps_per_dispatch,
-        device_dataset=device_dataset,
+        device_dataset=device_dataset, scan_epochs=scan_epochs,
     )
 
     # Stage 2: fresh optimizer with the decoder frozen
@@ -823,7 +1075,7 @@ def train_deblender(
         model, state2, epochs, training_data_deblender, validation_data_deblender,
         batch_size, callbacks_debl, verbose, train_cfg, mesh=mesh,
         metrics_log=metrics_log, steps_per_dispatch=steps_per_dispatch,
-        device_dataset=device_dataset,
+        device_dataset=device_dataset, scan_epochs=scan_epochs,
     )
 
     return hist_vae, hist_deblender, state2, model

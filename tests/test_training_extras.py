@@ -306,3 +306,73 @@ def test_train_deblender_steps_per_dispatch():
     for a, b in ((h1_vae, h2_vae), (h1_d, h2_d)):
         for k in a:
             np.testing.assert_allclose(a[k], b[k], rtol=1e-5)
+
+
+def _run_scan_epochs(n=24, bs=4, lr=0.0, epochs=2, callbacks=None):
+    from debvader_tpu.training.train import train_network
+
+    model = DeblenderVAE(TINY)
+    cfg = TrainConfig(learning_rate=lr, seed=3)
+    x, y = _toy(n, seed=7)
+    xv, yv = _toy(8, seed=9)
+    state = create_train_state(model, cfg)
+    return train_network(
+        model, state, epochs, (x, y), (xv, yv), bs, verbose=0,
+        train_cfg=cfg, scan_epochs=True, callbacks=callbacks,
+    )
+
+
+def test_scan_epochs_matches_per_step():
+    """scan_epochs=True (the whole fit in ONE dispatch, VERDICT r4 #8)
+    reproduces the per-step path's epoch logs — shuffle order, rng
+    threading, validation rng, metric weighting — at lr=0 exactly (up to
+    XLA-program reassociation)."""
+    ref = _run_train_network(1, n=24)
+    _assert_metrics_parity(ref, _run_scan_epochs(n=24))
+
+
+def test_scan_epochs_dynamics_track():
+    """With updates on, the scanned-epochs trajectory tracks per-step to
+    the same float-drift envelope as the other scan modes."""
+    ref = _run_train_network(1, n=12, bs=4, lr=1e-4, epochs=1)
+    got = _run_scan_epochs(n=12, bs=4, lr=1e-4, epochs=1)
+    _assert_metrics_parity(ref, got, rtol=5e-3)
+
+
+def test_scan_epochs_best_val_checkpoint(tmp_path):
+    """Device-tracked best-val states: with a monotonically-improving run
+    the saved checkpoint equals the final state; a callback whose best is
+    already unbeatable saves nothing."""
+    from debvader_tpu.training.train import train_network
+
+    cb = ckpt.BestValCheckpoint(tmp_path / "m", monitor="val_loss", verbose=0)
+    state, hist = _run_scan_epochs(lr=1e-3, epochs=3, callbacks=[cb])
+    assert cb.best == min(hist["val_loss"])
+    if hist["val_loss"][-1] == min(hist["val_loss"]):
+        saved = ckpt.load_weights_from(tmp_path / "m" / "ckpt")
+        for a, b in zip(
+            jax.tree_util.tree_leaves(saved["params"]),
+            jax.tree_util.tree_leaves(state.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    cb2 = ckpt.BestValCheckpoint(tmp_path / "n", monitor="val_loss", verbose=0)
+    cb2.best = -np.inf  # unbeatable
+    _run_scan_epochs(lr=1e-3, epochs=1, callbacks=[cb2])
+    assert not (tmp_path / "n").exists()
+
+
+def test_scan_epochs_rejects_unsupported():
+    import pytest
+
+    from debvader_tpu.training.train import train_network
+
+    model = DeblenderVAE(TINY)
+    cfg = TrainConfig(seed=3)
+    x, y = _toy(10, seed=7)  # 10 % 4 != 0
+    state = create_train_state(model, cfg)
+    with pytest.raises(ValueError, match="batch_size"):
+        train_network(
+            model, state, 1, (x, y), _toy(8, seed=9), 4, verbose=0,
+            train_cfg=cfg, scan_epochs=True,
+        )
