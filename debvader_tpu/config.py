@@ -89,8 +89,8 @@ class ModelConfig:
     # the error side of precision-placement search runs on host.
     limb_emulation: bool = False
 
-    _RUNGS = ("default", "high", "highest", "bf16x1", "bf16x3t",
-              "bf16x3", "bf16x4", "bf16x5", "bf16x6", "bf16x9")
+    _RUNGS = ("default", "high", "highest", "bf16x1", "bf16x2", "bf16x2t",
+              "bf16x3t", "bf16x3", "bf16x4", "bf16x5", "bf16x6", "bf16x9")
 
     def __post_init__(self):
         if not 0 <= self.decoder_f32_stages <= len(self.filters):

@@ -28,32 +28,48 @@ model/model.py:130-148) — in ONE pass over x:
 Per 16-row tile the MXU does ~4 lane-slot passes where the XLA HIGH chain
 does 6, and HBM traffic drops ~2x.
 
-STATUS (round 4): PARKED at a Mosaic lowering boundary, correctness-
-complete.  The kernel is exact in interpreter mode
-(tests/test_pallas_tail_fused.py pins parity at limb precision, ~1e-5,
-including the off-image h1-halo zeroing that chained SAME convs require),
-but compiled lowering hits two walls, both documented here so the next
-attempt doesn't rediscover them:
+STATUS (round 5): RETIRED as a throughput project on this hardware, with
+the lowering walls resolved and the economics measured — the kernel stays
+correctness-complete in interpreter mode
+(tests/test_pallas_tail_fused.py, ~1e-5 parity incl. the off-image
+h1-halo zeroing chained SAME convs require).
 
-1. HBM layout: arrays with a bare 12-64-channel trailing dim are
-   tile-padded to 128 lanes in HBM — a 4-10x footprint blowup that OOM'd
-   the 4D formulation (17.6 GB for what is ~5 GB of data).  Fixed by the
-   flat (B, H, W*C) layout this file now uses (lane dims 128-aligned).
-2. The im2col view change (rows, W*C) -> (rows*W, C) is a LANE-SPLITTING
-   reshape ("tpu.reshape vector<18x2112xf32> -> vector<1188x32xf32>"),
-   which Mosaic cannot lower; every alternative layout examined either
-   reintroduces that reshape or the 128-lane HBM padding (channels-last
-   4D, (B,C,H,W) with W in lanes, W-tiled grids, block-Toeplitz weights —
-   the last also wastes 7.5x MACs and >9 MB VMEM of zeros).
+The round-4 walls, re-probed in r5 (scripts/probe_mosaic_tail*.py,
+results/mosaic_probes*.json):
 
-What a working version is worth (measured, scripts/bench_tail_fused.py,
-batch 4096): the XLA arms of THIS two-layer chain alone cost 24.85 ms at
-HIGH / 18.15 ms at DEFAULT / 40.34 ms at HIGHEST — i.e. 35% of the whole
-70.6 ms fidelity forward sits in these two lane-starved layers, and a
-fused ~8-10 ms kernel would be a ~20% end-to-end serving win.  The viable
-route is a Mosaic-native micro-layout (patches materialized per-tap into
-sublane-stacked buffers, or emitting the contraction as 9 shifted
-lane-local block matmuls once Mosaic grows batched dot support).
+1. HBM 128-lane padding of small-channel trailing dims — avoidable (flat
+   (B, H, W*C) layouts; 4-pixel lane packing (B, H*W/4, 128)).
+2. The lane-splitting im2col reshape — the sublane-side workaround
+   COMPILES: lane-rolls + stack + (R,4,128)->(4R,128) sublane reshape
+   lower and run (probe `unpack_roll_stack_reshape`), as do narrow
+   lane-slice STORES into VMEM scratch (`scratch_narrow_store_kbuild`).
+   (Narrow lane-piece CONCATs crash the Mosaic compiler — use scratch
+   stores.)
+
+So a compiled kernel is now buildable — and not worth building, for a
+measured reason stronger than any lowering wall:
+
+- Exec-slot coverage: with c_in=c_out=32 (and 12 for the band head), a
+  3-term limb conv has a structural MXU-utilization ceiling of 34-56%
+  across every lowerable matmul formulation (pixels-in-M with K/N piece
+  packing; channels-in-sublanes transposed; 4-px-packed block-banded) —
+  the (tap, limb-term) coverage grid times the 32-lane piece padding.
+- The chip's measured dense bf16 rate is ~56-59 TMAC/s
+  (probe `xla_mm_8k`), and the WHOLE fidelity forward already sustains
+  ~58 TMAC/s of 3-pass work (docs/ROOFLINE.md §2-3) — i.e. XLA's HIGH
+  conv emitters run the full model, tail included, at ~100% of the
+  attainable MXU rate.  A fused tail at <=56% utilization cannot beat
+  that; the serving mode is at its roofline, and the prize the r4 STATUS
+  quantified here (a ~20% end-to-end win from a 24.85 ms chain arm) does
+  not exist at the chip's true constants — that arm re-measures ~2x
+  slower in ordinary tunnel windows, and the model-wide sustained-rate
+  accounting supersedes single-chain arms entirely.
+
+The >=1e5 + <=1e-4 joint clause this kernel was meant to close is
+settled in docs/ROOFLINE.md: MET on the literal 45x45x6 north-star
+workload (102.7k measured), closed-form impossible for 59x59x6 on v5e
+(it would need >100% of the chip's theoretical peak at the proven
+3-pass floor).
 """
 
 from __future__ import annotations
