@@ -42,12 +42,13 @@ NORTH_STAR = 1e5  # stamps/sec/chip, BASELINE.json
 BATCH = 4096
 
 
-def _measure(cfg, flux_cal: bool = False, batch: int = BATCH) -> float:
+def _measure(cfg, flux_cal: bool = False, batch: int = BATCH, variables=None) -> float:
     from debvader_tpu.models.vae import DeblenderVAE, init_vae
     from debvader_tpu.utils.timing import median_seconds_per_iter
 
     model = DeblenderVAE(cfg)
-    variables = init_vae(model, jax.random.PRNGKey(0))
+    if variables is None:
+        variables = init_vae(model, jax.random.PRNGKey(0))
     if flux_cal:
         from debvader_tpu.utils.flux_cal import attach_flux_calibration
 
@@ -92,6 +93,13 @@ def main():
     # found batch ~1536 measurably faster than the historical 4096 for the
     # bf16 and 45x45 lines (128.8k vs 123.8k; 102.7-104.6k vs 99.2k), so
     # each arm measures at its tuned batch.
+    # one device init per stamp size, shared across arms (params are
+    # always f32 and dtype/subpixel flags don't change the tree): flax's
+    # eager init is minutes of per-op dispatch through this environment's
+    # tunnel; see models/vae.init_vae
+    from debvader_tpu.models.vae import DeblenderVAE, init_vae
+
+    vars59 = init_vae(DeblenderVAE(ModelConfig()), jax.random.PRNGKey(0))
     results = {}
     for name, sub, batch in (
         ("convT", False, 1536),
@@ -99,7 +107,8 @@ def main():
         ("subpixel", True, 1536),
     ):
         results[name] = _measure(
-            ModelConfig(dtype="bfloat16", decoder_subpixel=sub), batch=batch
+            ModelConfig(dtype="bfloat16", decoder_subpixel=sub), batch=batch,
+            variables=vars59,
         )
         print(f"{name} (batch {batch}): {results[name]:,.0f} stamps/s",
               file=sys.stderr)
@@ -112,7 +121,9 @@ def main():
     from debvader_tpu.config import FIDELITY_NEEDS_FLUX_CAL
 
     fidelity_cfg = fidelity_serving_config()
-    fidelity = _measure(fidelity_cfg, flux_cal=FIDELITY_NEEDS_FLUX_CAL)
+    fidelity = _measure(
+        fidelity_cfg, flux_cal=FIDELITY_NEEDS_FLUX_CAL, variables=vars59
+    )
     fidelity_desc = (
         f"dtype={fidelity_cfg.dtype},matmul_precision="
         f"{fidelity_cfg.matmul_precision},"
@@ -127,10 +138,14 @@ def main():
     # clause compliance is unambiguous (VERDICT r4 #9).
     import dataclasses
 
+    vars45 = init_vae(
+        DeblenderVAE(ModelConfig(stamp_size=45)), jax.random.PRNGKey(0)
+    )
     fidelity45 = _measure(
         dataclasses.replace(fidelity_cfg, stamp_size=45),
         flux_cal=FIDELITY_NEEDS_FLUX_CAL,
         batch=1536,
+        variables=vars45,
     )
     print(f"fidelity 45x45x6: {fidelity45:,.0f} stamps/s", file=sys.stderr)
 

@@ -260,6 +260,27 @@ class DetectionConfig:
     # clean=True, clean_param=1.0, which the reference inherits).
     clean: bool = True
     clean_param: float = 1.0
+    # Deblending algorithm for splitting islands into objects:
+    #   'watershed' -> (default) every-local-max watershed split + the
+    #                  quantized-criterion merge (runtime/segmerge.cpp) —
+    #                  a documented, measured divergence from sep
+    #                  (PARITY.md; truth-match median <1 px).
+    #   'lutz'      -> sep-faithful multi-threshold component TREE
+    #                  (runtime/segmerge.cpp dvm_lutz): 64 exponential
+    #                  sub-thresholds per island, branch significance by
+    #                  flux fraction with >=2-significant-sibling
+    #                  separation, bivariate-Gaussian gatherup of shared
+    #                  pixels — the SExtractor deblender the reference's
+    #                  sep.extract runs (detect/detection.py:37-46).
+    #                  Opt-in (requires the native toolchain).
+    deblend_algo: str = "watershed"
+
+    def __post_init__(self):
+        if self.deblend_algo not in ("watershed", "lutz"):
+            raise ValueError(
+                f"deblend_algo must be 'watershed' or 'lutz', got "
+                f"{self.deblend_algo!r}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -268,8 +268,20 @@ def create_decoder(cfg: ModelConfig | None = None) -> Decoder:
 def init_vae(
     model: DeblenderVAE, rng: jax.Array, batch: int = 1
 ) -> dict[str, Any]:
-    """Initialize all variables (params + batch_stats)."""
+    """Initialize all variables (params + batch_stats).
+
+    On accelerator backends the init is wrapped in one jitted program:
+    flax's eager init dispatches hundreds of tiny ops, which through a
+    remote-dispatch link costs minutes (measured 164 s for the default
+    model through this environment's tunnel vs ~10 s jitted).  On CPU the
+    eager path stays (no compile cost for the many tiny test models).
+    Values are identical either way — threefry derivations and the
+    initializers are deterministic under jit."""
     cfg = model.cfg
     x = jnp.zeros((batch, cfg.stamp_size, cfg.stamp_size, cfg.nb_of_bands), jnp.float32)
     init_rng, sample_rng = jax.random.split(rng)
+    if jax.default_backend() != "cpu":
+        return jax.jit(
+            lambda r, s, x: model.init({"params": r}, x, rng=s)
+        )(init_rng, sample_rng, x)
     return model.init({"params": init_rng}, x, rng=sample_rng)

@@ -476,6 +476,64 @@ def _merge_labels_coo(idx, lab, val, f, threshold, cfg: DetectionConfig):
     return labs[roots][cid]
 
 
+def _pixel_edges_coo(idx, f):
+    """8-neighbor pixel edge pairs (array indices) among the masked COO
+    pixels — the E/S/SE/SW directions cover every undirected adjacency."""
+    idx = np.asarray(idx, np.int64)
+    col = idx % f
+    a_parts, b_parts = [], []
+    for d, ok in (
+        (1, col < f - 1),
+        (f, None),
+        (f + 1, col < f - 1),
+        (f - 1, col > 0),
+    ):
+        src = np.flatnonzero(ok) if ok is not None else np.arange(len(idx))
+        cand = idx[src] + d
+        pos = np.searchsorted(idx, cand)
+        m = np.flatnonzero(pos < len(idx))
+        m = m[idx[pos[m]] == cand[m]]
+        if len(m):
+            a_parts.append(src[m])
+            b_parts.append(pos[m])
+    if not a_parts:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return np.concatenate(a_parts), np.concatenate(b_parts)
+
+
+def _lutz_labels_coo(idx, val, f, threshold, cfg: DetectionConfig):
+    """sep-faithful multi-threshold tree deblending
+    (DetectionConfig.deblend_algo='lutz'): islands are deblended by the
+    native component-tree core (runtime/segmerge.cpp dvm_lutz) with the
+    documented SExtractor criterion — ``deblend_nthresh`` exponential
+    sub-thresholds, branch significance = flux > deblend_cont x island
+    flux with >=2 significant siblings, bivariate-Gaussian gatherup.
+    The watershed labels are bypassed entirely (the reference's
+    sep.extract has no watershed stage, detect/detection.py:37-46)."""
+    from debvader_tpu.runtime.segmerge import lutz_deblend
+
+    if len(idx) == 0:
+        return np.zeros(0, np.int64)
+    ea, eb = _pixel_edges_coo(idx, f)
+    lab = lutz_deblend(
+        np.maximum(np.asarray(val, np.float64), 1e-30),
+        idx,
+        ea,
+        eb,
+        f,
+        max(cfg.deblend_nthresh, 1),
+        max(float(threshold), 1e-30),
+        cfg.deblend_cont,
+    )
+    if lab is None:
+        raise RuntimeError(
+            "deblend_algo='lutz' needs the native segmerge library "
+            "(runtime/segmerge.cpp) and it failed to build/load; the "
+            "default 'watershed' algorithm has a pure-Python fallback"
+        )
+    return lab
+
+
 def _multi_threshold_merge(labels, filt, threshold, cfg: DetectionConfig):
     """Dense (F, F) wrapper over the COO merge (_merge_labels_coo) — kept
     for single-field callers and direct tests; production tiled detection
@@ -738,7 +796,10 @@ def _postprocess_coo(idx, lab, val, f, globalrms, cfg, timings=None, want_map=Tr
         knorm = 1.0
     thr_val = cfg.thresh * float(globalrms) * knorm
     with stage_timer(t, "merge"):
-        lab = _merge_labels_coo(idx, lab, val, f, thr_val, cfg)
+        if cfg.deblend_algo == "lutz":
+            lab = _lutz_labels_coo(idx, val, f, thr_val, cfg)
+        else:
+            lab = _merge_labels_coo(idx, lab, val, f, thr_val, cfg)
 
     with stage_timer(t, "segstats"):
         w_sel = np.maximum(val, 0.0)

@@ -14,7 +14,7 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["merge_segments", "native_available"]
+__all__ = ["merge_segments", "lutz_deblend", "native_available"]
 
 _RUNTIME_DIR = Path(__file__).resolve().parent
 _SO_PATH = _RUNTIME_DIR / "libdvsegmerge.so"
@@ -52,6 +52,15 @@ def _get_lib():
             ctypes.c_int64, ctypes.c_double, ctypes.c_double,
             i64p,
         ]
+        lib.dvm_lutz.restype = ctypes.c_int64
+        lib.dvm_lutz.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            f64p, i64p,
+            i64p, i64p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double,
+            i64p,
+        ]
         _lib = lib
     except Exception as exc:  # pragma: no cover - toolchain-dependent
         _lib_error = str(exc)
@@ -81,3 +90,29 @@ def merge_segments(ea, eb, eh, peak, flux, order, nthr, thr, cont):
         int(nthr), float(thr), float(cont), roots,
     )
     return roots
+
+
+def lutz_deblend(val, flat, ea, eb, f, nthr, thr, cont):
+    """Native sep-faithful multi-threshold tree deblender
+    (runtime/segmerge.cpp dvm_lutz; DetectionConfig.deblend_algo='lutz').
+
+    val/flat: the masked-pixel COO values and flat indices; ea/eb: pixel
+    8-neighbor edge pairs (array indices).  Returns the per-pixel object
+    labels (int64 flat index of each pixel's object peak), or None when
+    the native library is unavailable (the Lutz path has no Python
+    fallback — it is an opt-in native feature)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    val = np.ascontiguousarray(val, np.float64)
+    flat = np.ascontiguousarray(flat, np.int64)
+    ea = np.ascontiguousarray(ea, np.int64)
+    eb = np.ascontiguousarray(eb, np.int64)
+    labels = np.empty(len(val), np.int64)
+    n = lib.dvm_lutz(
+        len(val), len(ea), val, flat, ea, eb,
+        int(f), int(nthr), float(thr), float(cont), labels,
+    )
+    if n < 0:
+        return None
+    return labels
