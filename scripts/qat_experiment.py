@@ -29,6 +29,9 @@ enable_compilation_cache()
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
 LR = float(sys.argv[2]) if len(sys.argv) > 2 else 2e-5
 BATCH = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+# r5: 'per_tensor' (the r4 baseline) or 'per_channel' activation scales
+# (folded into the weight grid, models/quantized._quant_weight_folded)
+GRAN = sys.argv[4] if len(sys.argv) > 4 else "per_tensor"
 
 
 _BASE = {}
@@ -75,8 +78,8 @@ def main():
 
     model, variables = load_deblender("sim_demo")
     calib, _, _ = simulate_batch(jax.random.PRNGKey(11), 128)
-    qv0 = quantize_vae(model, variables, calib)
-    accuracy(qv0, "PTQ baseline")
+    qv0 = quantize_vae(model, variables, calib, act_granularity=GRAN)
+    accuracy(qv0, f"PTQ baseline ({GRAN})")
     # resumed fine-tuning with the teacher pinned to the ORIGINAL floats
     qv = qv0
     done = 0
