@@ -8,9 +8,14 @@ VAE's matmul-heavy layers:
 
 - **weights**: per-output-channel symmetric int8
   (scale = max|w| / 127 along the output-channel axis);
-- **activations**: per-tensor symmetric int8, scales calibrated from the
-  max absolute activation over a calibration batch at exactly the points
-  where the serving forward quantizes;
+- **activations**: symmetric int8, scales calibrated from the max
+  absolute activation over a calibration batch at exactly the points
+  where the serving forward quantizes — per-tensor by default for the
+  library API, or per-input-channel (``act_granularity='per_channel'``,
+  the CLI default since r5): per-channel scales FOLD into the weight
+  quantization (_quant_weight_folded), so the runtime path is identical
+  while PTQ flux divergence improves ~3x and the QAT floor drops
+  2.5e-2 -> 1.5e-2 (BASELINE.md r5);
 - **accumulation**: s8 x s8 -> s32 (``preferred_element_type=int32``),
   dequantized with the combined ``act_scale * w_scale[c]`` factor before
   bias/PReLU, which stay in the float compute dtype.
