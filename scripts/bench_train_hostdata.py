@@ -43,7 +43,7 @@ K = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 EPOCHS = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
 
-def run(name, spd, device_dataset, epochs):
+def run(name, spd, device_dataset, epochs, scan_epochs=False):
     model = DeblenderVAE(ModelConfig(dtype="bfloat16"))
     cfg = TrainConfig(batch_size=BATCH, seed=0)
     rng = np.random.default_rng(0)
@@ -57,12 +57,14 @@ def run(name, spd, device_dataset, epochs):
     state, _ = train_network(
         model, state, 1, (x, y), (xv, yv), BATCH, verbose=0, train_cfg=cfg,
         steps_per_dispatch=spd, device_dataset=device_dataset,
+        scan_epochs=scan_epochs,
     )
     t_first = time.perf_counter() - t0
     t0 = time.perf_counter()
     state, _ = train_network(
         model, state, epochs, (x, y), (xv, yv), BATCH, verbose=0,
         train_cfg=cfg, steps_per_dispatch=spd, device_dataset=device_dataset,
+        scan_epochs=scan_epochs,
     )
     dt = (time.perf_counter() - t0) / epochs
     print(
@@ -75,6 +77,8 @@ def run(name, spd, device_dataset, epochs):
 def main():
     print(f"backend={jax.default_backend()}  n={N} batch={BATCH} K={K}",
           flush=True)
+    # r5: the whole fit in one dispatch (scan_epochs) vs the K-step scan
+    run("scan-epochs", 1, None, EPOCHS, scan_epochs=True)
     run("gather", K, True, EPOCHS)
     run("per-step", 1, None, 1)
     run("superbatch", K, False, 1)
