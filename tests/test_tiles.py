@@ -296,3 +296,21 @@ def test_transfer_dtype_validated():
         it.iterative_deblend_and_render(
             np.asarray([[0, 0]]), transfer_dtype="float8_e4m3fn"
         )
+
+
+def test_tiled_matches_untiled_detection_lutz():
+    """deblend_algo='lutz' composes with the tiled path (the Lutz tree
+    runs per tile inside _postprocess_coo, and tile cores partition the
+    plane exactly like the watershed default)."""
+    import dataclasses
+
+    srcs = [(40.0, 50.0, 3.0), (150.0, 200.0, 2.0), (260.0, 80.0, 4.0),
+            (155.0, 150.0, 2.5)]
+    img = _field(300, srcs)
+    det_l = dataclasses.replace(DET, deblend_algo="lutz")
+    det_full = detect_objects(img, det_l)
+    det_tiled = detect_objects_tiled(img, det_l, tile=160, overlap=40)
+    assert len(det_tiled) == len(det_full) == len(srcs)
+    a = np.asarray(sorted(map(tuple, det_full)))
+    b = np.asarray(sorted(map(tuple, det_tiled)))
+    np.testing.assert_allclose(a, b, atol=1.0)
