@@ -789,7 +789,9 @@ def train_network(
 
     if scan_epochs:
         return _train_scanned_epochs(
-            model, state, epochs, x_tr, y_tr, x_va, y_va, batch_size,
+            model, state, epochs,
+            None if use_loader else x_tr, None if use_loader else y_tr,
+            x_va, y_va, batch_size,
             callbacks, verbose, train_cfg, metrics_log, shuffle_rng,
             use_loader=use_loader, mesh=mesh, history=history,
         )
