@@ -54,16 +54,16 @@ measured reason stronger than any lowering wall:
   across every lowerable matmul formulation (pixels-in-M with K/N piece
   packing; channels-in-sublanes transposed; 4-px-packed block-banded) —
   the (tap, limb-term) coverage grid times the 32-lane piece padding.
-- The chip's measured dense bf16 rate is ~56-59 TMAC/s
-  (probe `xla_mm_8k`), and the WHOLE fidelity forward already sustains
-  ~58 TMAC/s of 3-pass work (docs/ROOFLINE.md §2-3) — i.e. XLA's HIGH
-  conv emitters run the full model, tail included, at ~100% of the
-  attainable MXU rate.  A fused tail at <=56% utilization cannot beat
-  that; the serving mode is at its roofline, and the prize the r4 STATUS
-  quantified here (a ~20% end-to-end win from a 24.85 ms chain arm) does
-  not exist at the chip's true constants — that arm re-measures ~2x
-  slower in ordinary tunnel windows, and the model-wide sustained-rate
-  accounting supersedes single-chain arms entirely.
+- The WHOLE fidelity forward sustains ~58 T bf16-pass-equivalents/s —
+  66% of the ~87 T the best dense HIGH gemm reaches on this chip
+  (docs/ROOFLINE.md §2-3, scripts/bench_gemm_ceiling.py).  The 34% gap
+  lives exactly in the stages this kernel targets, and the coverage
+  ceiling above (34-56%) is BELOW the share XLA already achieves there —
+  a fused tail cannot beat the emitter it would replace, and the prize
+  the r4 STATUS quantified here (a ~20% end-to-end win from a 24.85 ms
+  chain arm) does not exist at the chip's true constants: that arm
+  re-measures ~2x slower in ordinary tunnel windows, and the model-wide
+  sustained-rate accounting supersedes single-chain arms entirely.
 
 The >=1e5 + <=1e-4 joint clause this kernel was meant to close is
 settled in docs/ROOFLINE.md: MET on the literal 45x45x6 north-star
