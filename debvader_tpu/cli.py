@@ -128,6 +128,8 @@ def _det_cfg(args):
         kw["thresh"] = args.thresh
     if getattr(args, "detection_band", None) is not None:
         kw["detection_band"] = args.detection_band
+    if getattr(args, "deblend_algo", None) is not None:
+        kw["deblend_algo"] = args.deblend_algo
     return DetectionConfig(**kw)
 
 
@@ -404,6 +406,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--overlap", type=int, default=64)
     p.add_argument("--thresh", type=float, default=None)
     p.add_argument("--detection-band", type=int, default=None)
+    p.add_argument(
+        "--deblend-algo", default=None, choices=["watershed", "lutz"],
+        help="island-splitting algorithm: watershed+quantized-merge "
+        "(default) or the sep-faithful Lutz multi-threshold tree "
+        "(native, opt-in; PARITY.md)",
+    )
     p.set_defaults(fn=_cmd_detect)
 
     p = sub.add_parser(
@@ -434,6 +442,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--overlap", type=int, default=64)
     p.add_argument("--thresh", type=float, default=None)
     p.add_argument("--detection-band", type=int, default=None)
+    p.add_argument(
+        "--deblend-algo", default=None, choices=["watershed", "lutz"],
+        help="island-splitting algorithm (see `detect --deblend-algo`)",
+    )
     p.set_defaults(fn=_cmd_serve)
 
     p = sub.add_parser("train", help="two-stage transfer training")

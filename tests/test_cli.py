@@ -214,3 +214,18 @@ def test_cli_enables_compilation_cache(weights_dir, tmp_path, monkeypatch):
     )
     assert rc == 0
     assert jax.config.jax_compilation_cache_dir is None
+
+
+def test_cli_detect_lutz(weights_dir):
+    """--deblend-algo lutz threads into DetectionConfig through the CLI."""
+    root, _ = weights_dir
+    path = _field(root)
+    rc = main(
+        ["detect", "--field", str(path),
+         "--out", str(root / "centers_lutz.npy"),
+         "--tile", "64", "--overlap", "16", "--thresh", "25.0",
+         "--detection-band", "0", "--deblend-algo", "lutz"]
+    )
+    assert rc == 0
+    centers = np.load(root / "centers_lutz.npy")
+    assert len(centers) >= 2  # both injected sources found

@@ -450,3 +450,45 @@ def test_per_channel_act_scales(tiny, tmp_path):
     dist3, _ = quantized_forward(qv3, x, jax.random.PRNGKey(0), z_mode="mean")
     err3 = float(jnp.mean(jnp.square(dist3.loc - ref.loc)))
     assert err3 < err_c
+
+
+def test_per_channel_constant_scales_match_per_tensor(tiny):
+    """Algebra pin for the folded per-channel grid: forcing every
+    per-channel activation-scale vector to its layer's scalar (max)
+    reproduces the per-tensor bundle's int8 forward (identical q-kernels,
+    wscales differing by exactly the folded factor)."""
+    import dataclasses
+
+    model, variables, x = tiny
+    qv_t = q.quantize_vae(model, variables, x, rng=jax.random.PRNGKey(1))
+    qv_c = q.quantize_vae(
+        model, variables, x, rng=jax.random.PRNGKey(1),
+        act_granularity="per_channel",
+    )
+    # overwrite the per-channel vectors with constant = the per-tensor
+    # scalar, requantize through the folded path
+    const_scales = {
+        k: jnp.full_like(qv_c.act_scales[k], qv_t.act_scales[k])
+        for k in qv_c.act_scales
+    }
+    qweights = {}
+    for name in qv_c.qweights:
+        scope, layer = name.split("/")
+        p = variables["params"]["encoder" if scope == "enc" else "decoder"][layer]
+        if layer.startswith("ConvTranspose"):
+            oa, ia = 2, 3
+        elif layer.startswith("Conv"):
+            oa, ia = 3, 2
+        else:
+            oa, ia = 1, 0
+        qweights[name] = q._quant_weight_folded(
+            p["kernel"], oa, ia, const_scales[name]
+        )
+    qv_c2 = dataclasses.replace(
+        qv_c, act_scales=const_scales, qweights=qweights
+    )
+    a, _ = q.quantized_forward(qv_t, x, jax.random.PRNGKey(0), z_mode="mean")
+    b, _ = q.quantized_forward(qv_c2, x, jax.random.PRNGKey(0), z_mode="mean")
+    np.testing.assert_allclose(
+        np.asarray(a.loc), np.asarray(b.loc), rtol=1e-5, atol=1e-7
+    )
