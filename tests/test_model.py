@@ -438,3 +438,24 @@ def test_matmul_precision_threads_through(vae_and_vars):
 
     with pytest.raises(ValueError, match="matmul_precision"):
         ModelConfig(matmul_precision="exact")
+
+
+def test_forward_macs_pins_roofline_constants():
+    """docs/ROOFLINE.md's closed-form ceilings hang off these exact MAC
+    counts; pin them so an architecture change that silently invalidates
+    the roofline argument fails a test."""
+    import dataclasses
+
+    from debvader_tpu.config import ModelConfig
+    from debvader_tpu.utils.flops import forward_macs, per_layer_macs
+
+    assert forward_macs(ModelConfig()) == 329_346_752  # 329.3 MMAC, 59x59x6
+    assert (
+        forward_macs(ModelConfig(stamp_size=45)) == 187_938_496
+    )  # 187.9 MMAC, 45x45x6
+    pl = per_layer_macs(ModelConfig())
+    # layer keys = the precision-placement key set (consistency)
+    assert set(pl) == set(ModelConfig().precision_layer_keys())
+    # tail share cited by the retired-kernel analysis
+    tail = pl["dec/ConvT_7"] + pl["dec/Conv_0"]
+    assert abs(tail / forward_macs(ModelConfig()) - 0.158) < 0.01
