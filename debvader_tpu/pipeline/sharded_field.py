@@ -120,8 +120,10 @@ class ShardedFieldDeblender:
     the SURVEY-scale path; small fields belong on one chip.
 
     Supported products: ``deblend_and_render`` (catalog + residual
-    [+ model]).  Epistemic sampling and the predicted-field canvases stay
-    on the single-chip driver for now.
+    [+ model]), ``deblend_and_predict`` (mean/stddev/epistemic canvases),
+    ``detect_objects`` (band-tiled) and ``iterative_deblend_and_render``
+    — with band-local epistemic sampling available in the chunk program
+    (``epistemic_uncertainty_estimation=True``).
 
     ``quantized``: a models.quantized.QuantizedVAE — the band-local stamp
     forward runs the fake-quant-free int8 serving path (s8xs8->s32 MXU)

@@ -376,3 +376,32 @@ def test_scan_epochs_rejects_unsupported():
             model, state, 1, (x, y), _toy(8, seed=9), 4, verbose=0,
             train_cfg=cfg, scan_epochs=True,
         )
+
+
+def test_train_deblender_scan_epochs_two_stage(tmp_path):
+    """scan_epochs threads through both stages of the two-stage transfer
+    trainer: histories carry both stages' epochs and the returned state
+    serves finite outputs."""
+    from debvader_tpu.training.train import train_deblender
+
+    rng = np.random.default_rng(4)
+    y = rng.normal(size=(12, 23, 23, 3)).astype(np.float32)
+    x = (y + 0.1 * rng.normal(size=y.shape)).astype(np.float32)
+    h_vae, h_deb, state, model = train_deblender(
+        "scan_demo", None, 2, (y, y), (y[:4], y[:4]), (x, y), (x[:4], y[:4]),
+        nb_of_bands=3, batch_size=4, verbose=0,
+        model_cfg=ModelConfig(stamp_size=23, nb_of_bands=3, latent_dim=4,
+                              filters=(4, 8), kernels=(3, 3)),
+        train_cfg=TrainConfig(batch_size=4, learning_rate=1e-4, seed=1),
+        weights_dir=str(tmp_path),
+        scan_epochs=True,
+    )
+    assert len(h_vae["loss"]) == 2 and len(h_deb["loss"]) == 2
+    assert all(np.isfinite(v) for v in h_vae["val_loss"] + h_deb["val_loss"])
+    import jax.numpy as jnp
+
+    dist, _ = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(x[:2]), z_mode="mean",
+    )
+    assert np.isfinite(np.asarray(dist.loc)).all()
